@@ -22,13 +22,17 @@ Array = jax.Array
 
 @functools.lru_cache(maxsize=32)
 def _cached_grid(height: int, width: int):
-    yy, xx = jnp.meshgrid(
-        jnp.arange(height, dtype=jnp.float32),
-        jnp.arange(width, dtype=jnp.float32),
+    # Cached as NUMPY on purpose: caching a jnp array created inside a jit
+    # trace would leak a tracer into later traces.
+    import numpy as np
+
+    yy, xx = np.meshgrid(
+        np.arange(height, dtype=np.float32),
+        np.arange(width, dtype=np.float32),
         indexing="ij",
     )
-    ones = jnp.ones_like(xx)
-    return jnp.stack([xx, yy, ones], axis=0).reshape(3, height * width)
+    ones = np.ones_like(xx)
+    return np.stack([xx, yy, ones], axis=0).reshape(3, height * width)
 
 
 def pixel_grid(height: int, width: int) -> Array:
@@ -36,7 +40,7 @@ def pixel_grid(height: int, width: int) -> Array:
 
     Matches reference ``Backprojection.coord`` (``model/layers.py:49-54``).
     """
-    return _cached_grid(height, width)
+    return jnp.asarray(_cached_grid(height, width))
 
 
 def invert_pose(pose: Array) -> Array:

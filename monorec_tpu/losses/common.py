@@ -1,0 +1,246 @@
+"""Shared loss kernels: photometric reprojection, smoothness, sparse depth.
+
+JAX counterparts of the reference ``model/loss_functions/common_losses.py``:
+
+* ``compute_errors`` (:10) — 0.85 * SSIM(zero-pad, gaussian window,
+  comp_mode) + 0.15 * L1, channel-averaged.
+* ``reprojection_loss`` (:16) — warp every source frame by the predicted
+  depth, score with the error function, combine frames by min/avg/rnd with
+  out-of-view masking (inf sentinels), optional automasking (identity
+  reprojection test) and mono_auto.
+* ``edge_aware_smoothness_loss`` (:117) — mean-normalized disparity
+  gradients weighted by exp(-|image gradient|).
+* ``sparse_depth_loss`` (:136) — L1/L2 against sparse GT (gt==0 invalid).
+
+All functions take NHWC tensors; masks are boolean "invalid" masks.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from monorec_tpu import geometry
+from monorec_tpu.ops.cost_volume import border_mask
+from monorec_tpu.ops.sampling import grid_sample_nhwc
+from monorec_tpu.ops.ssim import ssim
+from monorec_tpu.utils import mask_mean
+
+Array = jax.Array
+INF = jnp.inf
+
+
+def compute_errors(img0: Array, img1: Array) -> Array:
+    """0.85*SSIM + 0.15*L1, channel-averaged. (B, H, W)."""
+    s = ssim(img0, img1, pad_reflection=False, gaussian_average=True, comp_mode=True)
+    return 0.85 * jnp.mean(s, axis=-1) + 0.15 * jnp.mean(jnp.abs(img0 - img1), axis=-1)
+
+
+def _gather_frames(data: Dict, use_mono: bool, use_stereo: bool):
+    frames, poses, intr = [], [], []
+    if use_mono:
+        frames.append(data["frames"])
+        poses.append(data["poses"])
+        intr.append(data["intrinsics"])
+    if use_stereo:
+        frames.append(data["stereoframe"][:, None])
+        poses.append(data["stereoframe_pose"][:, None])
+        intr.append(data["stereoframe_intrinsics"][:, None])
+    return (
+        jnp.concatenate(frames, axis=1),
+        jnp.concatenate(poses, axis=1),
+        jnp.concatenate(intr, axis=1),
+    )
+
+
+def _warp_by_depth(
+    depth: Array,  # (B, H, W) metric depth
+    frames: Array,  # (B, F, H, W, C)
+    poses: Array,
+    intrinsics: Array,
+    keyframe_pose: Array,
+    keyframe_intrinsics: Array,
+    add: float,
+) -> Array:
+    """Warp each source frame (+add offset) onto the keyframe. (B,F,H,W,C)."""
+    b, f, h, w, c = frames.shape
+
+    def per_sample(depth_s, frames_s, poses_s, intr_s, kpose, kintr):
+        inv_k = geometry.invert_intrinsics(kintr)
+        pts = geometry.backproject(depth_s[None], inv_k, h, w)  # (1,4,HW)
+
+        def per_frame(frame, pose, k):
+            rel = geometry.invert_pose(pose) @ kpose
+            grid = geometry.project(pts, k, rel, h, w)[0]
+            return grid_sample_nhwc((frame + add)[None], grid[None])[0]
+
+        return jax.vmap(per_frame)(frames_s, poses_s, intr_s)
+
+    return jax.vmap(per_sample)(
+        depth, frames, poses, intrinsics, keyframe_pose, keyframe_intrinsics
+    )
+
+
+def reprojection_loss(
+    inv_depth: Array,  # (B, H, W, 1) inverse depth prediction
+    data: Dict,
+    automasking: bool = False,
+    use_mono: bool = True,
+    use_stereo: bool = False,
+    reduce: bool = True,
+    combine_frames: str = "min",
+    mono_auto: bool = False,
+    border: int = 0,
+    rng: Optional[jax.Array] = None,
+):
+    """Multi-frame photometric reprojection loss.
+
+    Returns a scalar if reduce else an (B, H, W) error map where invalid
+    pixels carry +inf (callers zero/mask them, as the reference does).
+    """
+    keyframe = data["keyframe"]
+    b, h, w, c = keyframe.shape
+    frames, poses, intrinsics = _gather_frames(data, use_mono, use_stereo)
+    f = frames.shape[1]
+
+    depth = 1.0 / inv_depth[..., 0]
+    reproj = _warp_by_depth(
+        depth, frames, poses, intrinsics,
+        data["keyframe_pose"], data["keyframe_intrinsics"], add=1.5,
+    )
+    invalid = reproj[..., 0] == 0  # (B,F,H,W): first channel hit zero padding
+    reproj = reproj - 1.0
+
+    if border > 0:
+        bm = border_mask(h, w, border, keyframe.dtype)
+        bm_f = jnp.broadcast_to(bm[None, None, :, :, None], (b, f, h, w, 1))
+        warped_bm = _warp_by_depth(
+            depth, bm_f, poses, intrinsics,
+            data["keyframe_pose"], data["keyframe_intrinsics"], add=0.0,
+        )[..., 0]
+        invalid = ~(warped_bm > 0.5)
+
+    key = jnp.broadcast_to((keyframe + 0.5)[:, None], reproj.shape)
+    flat = lambda x: x.reshape(b * f, h, w, c)
+    errors = compute_errors(flat(reproj), flat(key)).reshape(b, f, h, w)
+    errors = jnp.where(invalid, INF, errors)
+
+    if automasking:
+        e_nowarp = compute_errors(flat(frames + 0.5), flat(key)).reshape(b, f, h, w)
+        errors = jnp.where(e_nowarp < errors, INF, errors)
+
+    if mono_auto:
+        fm = data["frames"].shape[1]
+        key_m = jnp.broadcast_to(
+            (keyframe + 0.5)[:, None], (b, fm, h, w, c)
+        ).reshape(b * fm, h, w, c)
+        e_nw = compute_errors(
+            (data["frames"] + 0.5).reshape(b * fm, h, w, c), key_m
+        ).reshape(b, fm, h, w)
+        e_nw = jnp.mean(e_nw, axis=1, keepdims=True)
+        e_nw = jnp.where(jnp.all(invalid, axis=1, keepdims=True), INF, e_nw)
+        errors = jnp.minimum(errors, jnp.broadcast_to(e_nw, errors.shape))
+
+    if combine_frames == "min":
+        errors = jnp.min(errors, axis=1)
+        invalid = jnp.isinf(errors)
+    elif combine_frames == "avg":
+        inv = jnp.isinf(errors)
+        hits = jnp.sum((~inv).astype(errors.dtype), axis=1)
+        s = jnp.sum(jnp.where(inv, 0.0, errors), axis=1)
+        invalid = hits == 0
+        errors = jnp.where(invalid, INF, s / jnp.maximum(hits, 1.0))
+    elif combine_frames == "rnd":
+        if rng is None:
+            raise ValueError("combine_frames='rnd' requires an rng key")
+        idx = jax.random.randint(rng, (b,), 0, f)
+        errors = jnp.take_along_axis(
+            errors, idx[:, None, None, None], axis=1
+        )[:, 0]
+        invalid = jnp.take_along_axis(
+            invalid, idx[:, None, None, None], axis=1
+        )[:, 0]
+    else:
+        raise ValueError("combine_frames must be 'min', 'avg' or 'rnd'")
+
+    if reduce:
+        return mask_mean(jnp.where(invalid, 0.0, errors), invalid)
+    return errors
+
+
+def edge_aware_smoothness_loss(
+    inv_depth: Array, keyframe: Array, reduce: bool = True
+):
+    """Mean-normalized disparity gradients, image-gradient attenuated.
+
+    reduce=True -> scalar (mean of dx-map + mean of dy-map). reduce=False ->
+    (B, H, W, 1) map with dx/dy zero-padded back to full size (matching the
+    reference's F.pad composition, which trainers then mean).
+    """
+    d = inv_depth / jnp.mean(inv_depth, axis=(1, 2), keepdims=True)
+
+    d_dx = jnp.abs(d[:, :, :-1, :] - d[:, :, 1:, :])
+    d_dy = jnp.abs(d[:, :-1, :, :] - d[:, 1:, :, :])
+
+    k_dx = jnp.mean(
+        jnp.abs(keyframe[:, :, :-1, :] - keyframe[:, :, 1:, :]), axis=-1, keepdims=True
+    )
+    k_dy = jnp.mean(
+        jnp.abs(keyframe[:, :-1, :, :] - keyframe[:, 1:, :, :]), axis=-1, keepdims=True
+    )
+
+    d_dx = d_dx * jnp.exp(-k_dx)
+    d_dy = d_dy * jnp.exp(-k_dy)
+
+    if reduce:
+        return jnp.mean(d_dx) + jnp.mean(d_dy)
+    pad_x = jnp.pad(d_dx, ((0, 0), (0, 0), (0, 1), (0, 0)))
+    pad_y = jnp.pad(d_dy, ((0, 0), (0, 1), (0, 0), (0, 0)))
+    return pad_x + pad_y
+
+
+def sparse_depth_loss(
+    pred: Array, gt: Array, l2: bool = False, reduce: bool = True
+):
+    """L1/L2 loss on pixels with nonzero GT (inverse-depth domain)."""
+    invalid = gt == 0
+    errors = (pred - gt) ** 2 if l2 else jnp.abs(pred - gt)
+    if reduce:
+        loss = mask_mean(jnp.where(invalid, 0.0, errors), invalid)
+        return jnp.where(jnp.isnan(loss), 0.0, loss)
+    return errors, invalid
+
+
+def selfsup_loss(
+    inv_depth: Array,
+    data: Dict,
+    scale: int = 0,
+    automasking: bool = True,
+    use_mono: bool = True,
+    use_stereo: bool = False,
+    combine_frames: str = "min",
+    mask_border: int = 0,
+) -> Array:
+    """Reprojection + edge-aware smoothness (scaled 1e-3 / 2^scale)."""
+    r = reprojection_loss(
+        inv_depth, data, automasking=automasking, use_mono=use_mono,
+        use_stereo=use_stereo, reduce=True, combine_frames=combine_frames,
+        border=mask_border,
+    )
+    r = jnp.where(jnp.isnan(r), 0.0, r)
+    s = edge_aware_smoothness_loss(inv_depth, data["keyframe"])
+    s = jnp.where(jnp.isnan(s), 0.0, s)
+    return r + s * 1e-3 / (2**scale)
+
+
+def upsample_nearest_to(x: Array, height: int, width: int) -> Array:
+    """Nearest-neighbor resize of NHWC to (height, width) (torch F.upsample
+    default-mode semantics for integer factors)."""
+    b, h, w, c = x.shape
+    if (h, w) == (height, width):
+        return x
+    ys = (jnp.arange(height) * h // height).astype(jnp.int32)
+    xs = (jnp.arange(width) * w // width).astype(jnp.int32)
+    return x[:, ys][:, :, xs]

@@ -1,0 +1,139 @@
+"""MaskModule: moving-object probability from per-frame cost volumes.
+
+Mirrors the reference ``MaskModule`` (``model/monorec/monorec_model.py:
+287-385``): a weight-shared U-Net encoder runs over each single-frame cost
+volume, encoder features are fused with an element-wise ``max`` across
+frames, dropout (p=0.5, training only) is applied per fused feature, and a
+decoder with skip connections from both the fused CV features and the ResNet
+image features predicts a 1-channel sigmoid mask.
+
+``SimpleMaskModule`` (reference ``:388-473``) instead averages the stacked
+per-frame CVs over their nonzero entries and conditions on the keyframe and
+the (stop-gradient) depth prediction.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from monorec_tpu.models.layers import ConvLReLU, Upconv, max_pool_2x2
+
+Array = jax.Array
+
+_ENC_CH_TAIL = (48, 64, 96, 96)
+_DEC_CH = (96, 96, 64, 48)
+
+
+class _CVEncoder(nn.Module):
+    """Five-stage encoder over a cost volume; returns all stage features."""
+
+    in_channels: int
+
+    @nn.compact
+    def __call__(self, x: Array) -> List[Array]:
+        chans = (self.in_channels,) + _ENC_CH_TAIL
+        feats = []
+        for i, ch in enumerate(chans):
+            if i > 0:
+                x = max_pool_2x2(x)
+            x = ConvLReLU(ch, 3, name=f"enc{i}a")(x)
+            x = ConvLReLU(ch, 3, name=f"enc{i}b")(x)
+            feats.append(x)
+        return feats
+
+
+class _MaskDecoder(nn.Module):
+    """Decoder with CV-feature and image-feature skip connections."""
+
+    @nn.compact
+    def __call__(self, cv_feats: Sequence[Array], image_features: Sequence[Array]) -> Array:
+        # dec0: H/16 -> H/8; first Upconv consumes resnet layer3 features too.
+        x = jnp.concatenate([cv_feats[4], image_features[3]], axis=-1)
+        x = Upconv(_DEC_CH[0], name="up0")(x)
+        x = jnp.concatenate([cv_feats[3], image_features[2], x], axis=-1)
+        x = ConvLReLU(_DEC_CH[0], 3, name="dec0a")(x)
+        x = ConvLReLU(_DEC_CH[0], 3, name="dec0b")(x)
+
+        # dec1: H/8 -> H/4.
+        x = Upconv(_DEC_CH[0], name="up1")(x)
+        x = jnp.concatenate([cv_feats[2], image_features[1], x], axis=-1)
+        x = ConvLReLU(_DEC_CH[1], 3, name="dec1a")(x)
+        x = ConvLReLU(_DEC_CH[1], 3, name="dec1b")(x)
+
+        # dec2: H/4 -> H/2.
+        x = Upconv(_DEC_CH[1], name="up2")(x)
+        x = jnp.concatenate([cv_feats[1], image_features[0], x], axis=-1)
+        x = ConvLReLU(_DEC_CH[2], 3, name="dec2a")(x)
+        x = ConvLReLU(_DEC_CH[2], 3, name="dec2b")(x)
+
+        # dec3: H/2 -> H (CV skip only).
+        x = Upconv(_DEC_CH[2], name="up3")(x)
+        x = jnp.concatenate([cv_feats[0], x], axis=-1)
+        x = ConvLReLU(_DEC_CH[3], 3, name="dec3a")(x)
+        x = ConvLReLU(_DEC_CH[3], 3, name="dec3b")(x)
+
+        x = nn.Conv(1, (1, 1), name="classifier")(x)
+        return nn.sigmoid(x)
+
+
+class MaskModule(nn.Module):
+    depth_steps: int = 32
+    use_cv: bool = True
+    use_features: bool = True
+
+    @nn.compact
+    def __call__(
+        self,
+        single_frame_cvs: Array,  # (B, F, H, W, D)
+        image_features: Sequence[Array],
+        train: bool = False,
+    ) -> Array:
+        if not self.use_cv:
+            single_frame_cvs = single_frame_cvs * 0.0
+        if not self.use_features:
+            image_features = [f * 0.0 for f in image_features]
+
+        encoder = _CVEncoder(self.depth_steps, name="cv_encoder")
+        n_frames = single_frame_cvs.shape[1]
+
+        fused: List[Array] = []
+        for f in range(n_frames):  # static unroll; encoder weights shared
+            feats = encoder(single_frame_cvs[:, f])
+            if not fused:
+                fused = list(feats)
+            else:
+                fused = [jnp.maximum(a, b) for a, b in zip(fused, feats)]
+
+        dropout = nn.Dropout(rate=0.5, deterministic=not train)
+        fused = [dropout(f) for f in fused]
+
+        return _MaskDecoder(name="decoder")(fused, image_features)
+
+
+class SimpleMaskModule(nn.Module):
+    depth_steps: int = 32
+
+    @nn.compact
+    def __call__(
+        self,
+        single_frame_cvs: Array,  # (B, F, H, W, D)
+        keyframe: Array,
+        predicted_inverse_depth: Array,  # finest-scale prediction (B, H, W, 1)
+        image_features: Sequence[Array],
+        train: bool = False,
+    ) -> Array:
+        counts = jnp.clip(
+            jnp.sum((single_frame_cvs != 0).astype(keyframe.dtype), axis=1), 1, None
+        )
+        cv_avg = jnp.sum(single_frame_cvs, axis=1) / counts
+
+        x = jnp.concatenate(
+            [cv_avg, keyframe, jax.lax.stop_gradient(predicted_inverse_depth)],
+            axis=-1,
+        )
+        feats = _CVEncoder(self.depth_steps + 3 + 1, name="cv_encoder")(x)
+        return _MaskDecoder(name="decoder")(feats, image_features)

@@ -1,0 +1,103 @@
+"""Training-stack tests on the virtual 8-device CPU mesh.
+
+Heavy compiles (single-core XLA-CPU host): each test compiles at most one
+train-step graph at tiny shapes; the persistent cache amortizes repeats.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from monorec_tpu.data import DataLoader, SyntheticSweepDataset
+from monorec_tpu.losses import depth_loss
+from monorec_tpu.metrics import get_metric
+from monorec_tpu.models import MonoRec, MonoRecConfig
+from monorec_tpu.parallel import make_mesh, shard_batch
+from monorec_tpu.train import Trainer
+from monorec_tpu.train.state import create_train_state, make_optimizer
+
+
+def test_mesh_spans_devices():
+    mesh = make_mesh()
+    assert mesh.devices.size == 8  # conftest forces 8 virtual CPU devices
+
+
+@pytest.fixture(scope="module")
+def stage1_setup(tmp_path_factory):
+    ds = SyntheticSweepDataset(length=16, target_image_size=(32, 64), frame_count=2)
+    dl = DataLoader(ds, batch_size=8, shuffle=True, num_workers=2, seed=3)
+    cfg = MonoRecConfig(cv_depth_steps=4, pretrain_mode=1, augmentation="depth")
+    model = MonoRec(cfg)
+    batch = next(iter(dl))
+    tx = make_optimizer({"type": "Adam", "args": {"lr": 1e-4, "amsgrad": True}})
+    state = create_train_state(model, batch, jax.random.PRNGKey(0), tx)
+    trainer = Trainer(
+        model, depth_loss, [get_metric("abs_rel_sparse_metric")], state,
+        {"trainer": {"epochs": 1, "len_epoch": 2, "alpha": 0.5,
+                     "max_distance": 80, "tensorboard": False, "log_step": 100}},
+        dl, run_dir=str(tmp_path_factory.mktemp("run")),
+    )
+    return trainer
+
+
+def test_stage1_train_step_runs_and_updates(stage1_setup):
+    trainer = stage1_setup
+    params_before = jax.tree_util.tree_map(np.asarray, trainer.state.params)
+    log = trainer._train_epoch(1)
+    assert np.isfinite(log["loss"])
+    # some depth-module parameter must have moved
+    moved = jax.tree_util.tree_reduce(
+        lambda acc, pair: acc or not np.allclose(pair[0], pair[1]),
+        jax.tree_util.tree_map(
+            lambda a, b: (np.asarray(a), np.asarray(b)),
+            params_before["depth_net"],
+            trainer.state.params["depth_net"],
+            is_leaf=lambda x: isinstance(x, np.ndarray) or hasattr(x, "shape"),
+        ),
+        False,
+    )
+    assert moved
+
+
+def test_checkpoint_roundtrip(stage1_setup, tmp_path):
+    from monorec_tpu.train.checkpoints import (
+        load_checkpoint,
+        load_submodule_params,
+        save_checkpoint,
+    )
+
+    trainer = stage1_setup
+    path = save_checkpoint(tmp_path, "checkpoint", trainer.state, 3, 0.123)
+    payload = load_checkpoint(path)
+    assert payload["meta"]["epoch"] == 3
+    got = {
+        jax.tree_util.keystr(p): np.asarray(v)
+        for p, v in jax.tree_util.tree_leaves_with_path(payload["params"]["depth_net"])
+    }
+    want = {
+        jax.tree_util.keystr(p): np.asarray(v)
+        for p, v in jax.tree_util.tree_leaves_with_path(
+            trainer.state.params["depth_net"]
+        )
+    }
+    assert set(got) == set(want)
+    for k in want:
+        np.testing.assert_array_equal(got[k], want[k])
+
+    # partial loading: zero the live params, restore only depth_net
+    zeroed = jax.tree_util.tree_map(lambda x: x * 0, trainer.state.params)
+    restored = load_submodule_params(zeroed, [str(path)], ["depth_net"])
+    leaf = jax.tree_util.tree_leaves(restored["depth_net"])[0]
+    assert np.any(np.asarray(leaf) != 0)
+    leaf_enc = jax.tree_util.tree_leaves(restored["encoder"])[0]
+    assert np.all(np.asarray(leaf_enc) == 0)
+
+
+def test_dryrun_multichip_full_stage4():
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from __graft_entry__ import dryrun_multichip
+
+    dryrun_multichip(8)
