@@ -52,7 +52,9 @@ def invert_pose(pose: Array) -> Array:
     r = pose[..., :3, :3]
     t = pose[..., :3, 3:]
     r_t = jnp.swapaxes(r, -1, -2)
-    top = jnp.concatenate([r_t, -r_t @ t], axis=-1)
+    top = jnp.concatenate(
+        [r_t, -jnp.matmul(r_t, t, precision=jax.lax.Precision.HIGHEST)], axis=-1
+    )
     bottom = jnp.broadcast_to(
         jnp.array([0.0, 0.0, 0.0, 1.0], dtype=pose.dtype), pose.shape[:-2] + (1, 4)
     )
@@ -95,7 +97,10 @@ def backproject(depths: Array, inv_k: Array, height: int, width: int) -> Array:
       ``monorec_model.py:198-201``.
     """
     d = depths.reshape(depths.shape[0], 1, height * width)
-    rays = inv_k[:3, :3] @ pixel_grid(height, width)  # (3, H*W)
+    rays = jnp.matmul(
+        inv_k[:3, :3], pixel_grid(height, width),
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (3, H*W)
     pts = d * rays[None]  # (D, 3, H*W)
     ones = jnp.ones((depths.shape[0], 1, height * width), dtype=pts.dtype)
     return jnp.concatenate([pts, ones], axis=1)
@@ -114,8 +119,10 @@ def project(points: Array, k: Array, t: Array, height: int, width: int) -> Array
       (..., H, W, 2) coordinates in [-1, 1] with the reference normalization
       ``u / (W-1); (u - .5) * 2`` (``model/layers.py:63-71``).
     """
-    proj = (k @ t)[:3, :]  # (3, 4)
-    cam = jnp.einsum("ij,...jn->...in", proj, points)
+    proj = jnp.matmul(k, t, precision=jax.lax.Precision.HIGHEST)[:3, :]  # (3, 4)
+    cam = jnp.einsum(
+        "ij,...jn->...in", proj, points, precision=jax.lax.Precision.HIGHEST
+    )
     xy = cam[..., :2, :] / (cam[..., 2:3, :] + 1e-7)
     denom = jnp.array([width - 1, height - 1], dtype=xy.dtype).reshape(
         (1,) * (xy.ndim - 2) + (2, 1)

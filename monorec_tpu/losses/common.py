@@ -72,7 +72,10 @@ def _warp_by_depth(
         pts = geometry.backproject(depth_s[None], inv_k, h, w)  # (1,4,HW)
 
         def per_frame(frame, pose, k):
-            rel = geometry.invert_pose(pose) @ kpose
+            rel = jnp.matmul(
+                geometry.invert_pose(pose), kpose,
+                precision=jax.lax.Precision.HIGHEST,
+            )
             grid = geometry.project(pts, k, rel, h, w)[0]
             return grid_sample_nhwc((frame + add)[None], grid[None])[0]
 

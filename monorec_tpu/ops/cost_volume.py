@@ -123,7 +123,10 @@ def _cost_volume_single(
     cw = jnp.asarray(cfg.channel_weights, dtype=keyframe.dtype) / (cfg.patch_size**2)
 
     def per_frame(frame, k, pose):
-        rel = geometry.invert_pose(pose) @ keyframe_pose
+        rel = jnp.matmul(
+            geometry.invert_pose(pose), keyframe_pose,
+            precision=jax.lax.Precision.HIGHEST,
+        )
         coords = geometry.project(cam_points, k, rel, height, width)
         coords = jnp.clip(coords, -2.0, 2.0)
 
@@ -167,6 +170,156 @@ def _cost_volume_single(
     return jnp.moveaxis(fused, 0, -1), jnp.moveaxis(sfcv, 1, -1)
 
 
+def plane_sweep_homographies(
+    keyframe_intrinsics: Array,  # (B, 4, 4)
+    keyframe_pose: Array,  # (B, 4, 4)
+    frame_intrinsics: Array,  # (B, F, 4, 4)
+    frame_poses: Array,  # (B, F, 4, 4)
+    inv_depths: Array,  # (D,)
+    height: int,
+    width: int,
+) -> Array:
+    """Fold the full warp pipeline into per-(b, f, d) 3x3 homographies.
+
+    Output pixel p=(x, y, 1) maps to homogeneous source coords s = M p with
+    xs_pix = s0/s2, ys_pix = s1/s2 directly in align_corners=False pixel
+    units — i.e. the reference's project -> normalize-by-(W-1,H-1) ->
+    (u-.5)*2 -> grid_sample unnormalization composed into M. Entry (2,2) is
+    normalized to 1 (the kernel's contract).
+    """
+    hi = jax.lax.Precision.HIGHEST  # 4x4 chains must not run in bf16 on TPU
+    inv_k = geometry.invert_intrinsics(keyframe_intrinsics)[:, :3, :3]  # (B,3,3)
+    rel = jax.vmap(
+        lambda poses_f, kp: jax.vmap(
+            lambda p: jnp.matmul(geometry.invert_pose(p), kp, precision=hi)
+        )(poses_f)
+    )(frame_poses, keyframe_pose)  # (B, F, 4, 4)
+    kt = jnp.matmul(frame_intrinsics, rel, precision=hi)  # (B, F, 4, 4)
+    a = jnp.einsum(
+        "bfij,bjk->bfik", kt[:, :, :3, :3], inv_k, precision=hi
+    )  # (B, F, 3, 3)
+    t = kt[:, :, :3, 3]  # (B, F, 3)
+
+    e3 = jnp.array([0.0, 0.0, 1.0], a.dtype)
+    m = a[:, :, None] + inv_depths[None, None, :, None, None] * (
+        t[:, :, None, :, None] * e3[None, None, None, None, :]
+    )  # (B, F, D, 3, 3)
+
+    # Fold normalization + align_corners=False unnormalization:
+    # xs_pix = (s0/s2) * W/(W-1) - 0.5 (and likewise for y).
+    sx = width / (width - 1)
+    sy = height / (height - 1)
+    row0 = sx * m[..., 0, :] - 0.5 * m[..., 2, :]
+    row1 = sy * m[..., 1, :] - 0.5 * m[..., 2, :]
+    row2 = m[..., 2, :]
+    m = jnp.stack([row0, row1, row2], axis=-2)
+    return m / m[..., 2:3, 2:3]
+
+
+def _score_and_fuse(
+    sad: Array,  # (B, F, D, H, W)
+    valid: Array,  # (B, F, H, W)
+    cfg: CostVolumeConfig,
+) -> Tuple[Array, Array]:
+    """Shared fusion math (reference :250-269) on D-major layouts.
+
+    Returns fused (B, H, W, D) and per-frame CVs (B, F, H, W, D).
+    """
+    d_steps = sad.shape[2]
+    sfcv = (1.0 - 2.0 * sad) * valid[:, :, None]
+
+    sharp = jnp.exp(-cfg.alpha * (sad - jnp.min(sad, axis=2, keepdims=True)) ** 2)
+    weight = 1.0 - (jnp.sum(sharp, axis=2) - 1.0) / (d_steps - 1)
+    weight = weight * valid  # (B, F, H, W)
+
+    weight_sum = jnp.sum(weight, axis=1)  # (B, H, W)
+    fused = jnp.sum(sad * weight[:, :, None], axis=1)  # (B, D, H, W)
+    nonzero = weight_sum > 0
+    fused = jnp.where(
+        nonzero[:, None], fused / jnp.where(nonzero, weight_sum, 1.0)[:, None], fused
+    )
+    if not cfg.not_center_cv:
+        fused = 1.0 - 2.0 * fused
+    fused = jnp.where(nonzero[:, None], fused, 0.0)
+
+    return jnp.moveaxis(fused, 1, -1), jnp.moveaxis(sfcv, 2, -1)
+
+
+def _compute_cost_volume_pallas(
+    keyframe: Array,
+    keyframe_intrinsics: Array,
+    keyframe_pose: Array,
+    frames: Array,
+    frame_intrinsics: Array,
+    frame_poses: Array,
+    inv_depths: Array,  # (D,)
+    cfg: CostVolumeConfig,
+    interpret: bool = False,
+) -> Tuple[Array, Array]:
+    """Cost volume via the fused Pallas warp kernel (TPU fast path)."""
+    from monorec_tpu.ops.pallas import warp_plane_sweep
+
+    b, h, w, c = keyframe.shape
+    f = frames.shape[1]
+    d_steps = inv_depths.shape[0]
+
+    homs = plane_sweep_homographies(
+        keyframe_intrinsics, keyframe_pose, frame_intrinsics, frame_poses,
+        inv_depths, h, w,
+    ).reshape(b * f, d_steps, 3, 3)
+
+    images = jnp.moveaxis(frames.reshape(b * f, h, w, c), -1, 1)  # (N, C, H, W)
+    warped, wmask, _cov = warp_plane_sweep(
+        images, homs, border_radius=cfg.border_radius, interpret=interpret
+    )
+    # warped: (N, D, C, H, W); wmask: (N, D, H, W)
+
+    bmask = border_mask(h, w, cfg.border_radius, keyframe.dtype)
+    valid = bmask[None] * jnp.min(
+        (wmask != 0).astype(keyframe.dtype), axis=1
+    )  # (N, H, W)
+
+    key = jnp.moveaxis(keyframe, -1, 1)  # (B, C, H, W)
+    key_b = jnp.broadcast_to(
+        key[:, None, None], (b, f, d_steps, c, h, w)
+    ).reshape(b * f * d_steps * c, h, w, 1)
+    warped_flat = warped.reshape(b * f * d_steps * c, h, w, 1)
+
+    if cfg.use_ssim == 1:
+        diff = ssim(warped_flat + 0.5, key_b + 0.5)
+    elif cfg.use_ssim == 2:
+        diff = 0.85 * ssim(warped_flat + 0.5, key_b + 0.5) + 0.15 * jnp.abs(
+            warped_flat - key_b
+        )
+    elif cfg.use_ssim == 0:
+        diff = jnp.abs(warped_flat - key_b)
+    else:
+        l1 = jnp.abs(warped_flat - key_b)
+        diff = (
+            jax.lax.reduce_window(
+                jnp.pad(l1, ((0, 0), (1, 1), (1, 1), (0, 0))),
+                0.0, jax.lax.add, (1, 3, 3, 1), (1, 1, 1, 1), "VALID",
+            )
+            / 9.0
+        )
+
+    diff = diff.reshape(b * f * d_steps, c, h, w)
+    cw = jnp.asarray(cfg.channel_weights, dtype=keyframe.dtype) / (cfg.patch_size**2)
+    weighted = jnp.einsum("nchw,c->nhw", diff, cw)
+    sad = _box_sum_3x3(weighted).reshape(b, f, d_steps, h, w)
+
+    if not cfg.sfcv_mult_mask:
+        warped_b = warped.reshape(b, f, d_steps, c, h, w)
+        any_nonzero = jnp.any(warped_b != 0, axis=3)
+        all_equal = jnp.all(warped_b == key[:, None, None], axis=3)
+        alt_valid = (any_nonzero | all_equal).astype(sad.dtype)
+        sfcv = (1.0 - 2.0 * sad) * alt_valid
+        fused_nhwd, _ = _score_and_fuse(sad, valid.reshape(b, f, h, w), cfg)
+        return fused_nhwd, jnp.moveaxis(sfcv, 2, -1)
+
+    return _score_and_fuse(sad, valid.reshape(b, f, h, w), cfg)
+
+
 def compute_cost_volume(
     keyframe: Array,
     keyframe_intrinsics: Array,
@@ -178,6 +331,8 @@ def compute_cost_volume(
     inv_depth_min: Array,
     cfg: CostVolumeConfig = CostVolumeConfig(),
     cv_depths: Optional[Array] = None,
+    backend: str = "auto",
+    interpret: bool = False,
 ) -> Tuple[Array, Array]:
     """Batched plane-sweep cost volume.
 
@@ -195,6 +350,27 @@ def compute_cost_volume(
       computes the CV under ``no_grad`` (``monorec_model.py:679``).
     """
     b, height, width, _ = keyframe.shape
+
+    if backend == "auto":
+        on_tpu = jax.default_backend() not in ("cpu", "gpu")
+        kernel_ok = (
+            cv_depths is None
+            and height % 8 == 0
+            and width % 128 == 0
+        )
+        backend = "pallas" if (on_tpu and kernel_ok) else "xla"
+
+    if backend == "pallas":
+        inv_depths = jnp.linspace(
+            jnp.asarray(inv_depth_max, keyframe.dtype),
+            jnp.asarray(inv_depth_min, keyframe.dtype),
+            cfg.depth_steps,
+        )
+        fused, sfcv = _compute_cost_volume_pallas(
+            keyframe, keyframe_intrinsics, keyframe_pose, frames,
+            frame_intrinsics, frame_poses, inv_depths, cfg, interpret,
+        )
+        return jax.lax.stop_gradient(fused), jax.lax.stop_gradient(sfcv)
 
     if cv_depths is None:
         d = geometry.depth_hypotheses(

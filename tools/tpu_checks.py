@@ -1,0 +1,93 @@
+"""On-device TPU checks: Pallas-vs-XLA cost-volume parity and kernel perf.
+
+The pytest suite is pinned to the virtual CPU mesh, so compiled-kernel
+checks run here, on the real chip:
+
+    python tools/tpu_checks.py
+
+Uses chained data dependencies for timing (the axon remote backend's
+block_until_ready is not a reliable fence).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+from pathlib import Path
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", str(Path(__file__).resolve().parents[1] / ".jax_tpu_cache"))
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from monorec_tpu.ops.cost_volume import CostVolumeConfig, compute_cost_volume
+
+
+def build(b, f, h, w, seed=0):
+    rng = np.random.default_rng(seed)
+    k = np.zeros((4, 4), np.float32)
+    k[0, 0] = k[1, 1] = 0.8 * w
+    k[0, 2], k[1, 2] = w / 2 - 0.5, h / 2 - 0.5
+    k[2, 2] = k[3, 3] = 1
+    kb = np.tile(k, (b, 1, 1))
+    poses = np.tile(np.eye(4, dtype=np.float32), (b, f, 1, 1))
+    poses[:, 0, 0, 3] = 0.3
+    poses[:, 1, 0, 3] = -0.3
+    poses[:, 1, 2, 3] = 0.8
+    th = 0.01
+    poses[:, 0, :3, :3] = [
+        [np.cos(th), 0, np.sin(th)], [0, 1, 0], [-np.sin(th), 0, np.cos(th)]
+    ]
+    return (
+        jnp.asarray(rng.uniform(-0.5, 0.5, (b, h, w, 3)).astype(np.float32)),
+        jnp.asarray(kb),
+        jnp.asarray(np.tile(np.eye(4, dtype=np.float32), (b, 1, 1))),
+        jnp.asarray(rng.uniform(-0.5, 0.5, (b, f, h, w, 3)).astype(np.float32)),
+        jnp.asarray(np.tile(kb[:, None], (1, f, 1, 1))),
+        jnp.asarray(poses),
+        jnp.float32(0.0025),
+        jnp.float32(0.33),
+    )
+
+
+def parity():
+    args = build(2, 2, 64, 128)
+    cfg = CostVolumeConfig(depth_steps=8)
+    ref = jax.jit(lambda *a: compute_cost_volume(*a, cfg, backend="xla"))(*args)
+    new = jax.jit(lambda *a: compute_cost_volume(*a, cfg, backend="pallas"))(*args)
+    ok = True
+    for name, (r, n) in zip(("fused", "sfcv"), zip(ref, new)):
+        d = np.abs(np.asarray(r) - np.asarray(n))
+        print(f"parity {name}: max {d.max():.2e} mean {d.mean():.2e}")
+        ok &= d.max() < 1e-3
+    print("PARITY", "PASS" if ok else "FAIL")
+    return ok
+
+
+def perf():
+    args = build(8, 2, 256, 512, 1)
+    cfg = CostVolumeConfig(depth_steps=32)
+
+    f = jax.jit(
+        lambda eps, *a: compute_cost_volume(a[0] + eps, *a[1:], cfg, backend="pallas")[
+            0
+        ].mean()
+    )
+    eps = jnp.float32(0)
+    float(f(eps, *args))  # compile
+    t0 = time.perf_counter()
+    iters = 5
+    for _ in range(iters):
+        eps = f(eps * 1e-9, *args)
+    float(eps)
+    dt = (time.perf_counter() - t0) / iters
+    print(f"pallas cost volume B8 F2 D32 256x512: {dt*1000:.1f} ms -> {8/dt:.1f} kf/s")
+
+
+if __name__ == "__main__":
+    ok = parity()
+    perf()
+    sys.exit(0 if ok else 1)
