@@ -4,26 +4,29 @@ TPU has no fast vector gather — XLA lowers ``jnp.take`` to serial loops
 (~420 ms for one image's 32-hypothesis warp; the whole XLA cost volume ran at
 1.5 keyframes/s). This kernel removes every gather:
 
-* the padded source image lives in VMEM for the whole (image, depth) sweep;
-* each (8-row x 128-col) output sub-block computes its source coordinates
-  from the per-(image, depth) plane-induced homography (VPU, closed form);
-* a statically-aligned (48, 384) slab around the sub-block is loaded from
-  VMEM and aligned to the local integer displacement base with two dynamic
-  ``pltpu.roll``s (sublane + lane rotates — the TPU-native substitute for a
-  gather);
-* bilinear sampling is banded tap accumulation over the slab: for each
-  (sy, sx) window offset the tap is a static row-broadcast + lane slice,
-  FMA-weighted by ``max(0, 1-|disp - s|)`` — exact bilinear wherever the
-  window covers the true displacement. Taps whose weight is provably zero
-  for the whole sub-block are skipped via scalar range tests;
-* the warped border-validity mask (what the reference gets by grid-sampling
-  a border indicator, ``monorec_model.py:212-219``) is accumulated in the
-  same loop from an analytic interior indicator;
-* a per-(image, depth) coverage counter reports pixels whose in-image
-  source fell outside the window (0 for driving-scale motion; such pixels
+* the grid is (image, depth, row-block, col-block); for each program the
+  index maps (driven by the scalar-prefetched homographies — index maps are
+  scalar jaxprs, the documented Pallas mechanism for data-dependent
+  fetching) DMA exactly the four BAND_H x BAND_W bands of the padded source
+  image that the sub-block's displacement window needs, so arbitrary
+  in-image displacements are supported without giant VMEM slabs;
+* the residual offset inside the fetched slab is aligned with exact one-hot
+  PERMUTATION MATMULS on the MXU at HIGHEST precision (Mosaic's dynamic
+  rotates/slices are unreliable on this stack, and bit-decomposed rolls are
+  VPU-bandwidth-bound);
+* bilinear sampling is banded tap accumulation: static row bands (predicated
+  by ``pl.when``) and a dynamic-trip-count lane loop that advances with a
+  static roll-by-1 — executed taps track the actual displacement spread, and
+  no per-tap scalar branch is paid for skipped taps;
+* the warped border-validity mask (reference grid-samples a border
+  indicator, ``monorec_model.py:212-219``) factors into (vertical interp of
+  the row indicator) x (horizontal interp of the column indicator) and is
+  accumulated outside the quadratic loop;
+* a per-(image, depth) coverage counter reports pixels whose in-image source
+  fell outside the tap window (0 for rigid driving motion; such pixels
   degrade to "invalid reprojection", which the cost volume masks anyway).
 
-Layout: images are (N, C, Hp, Wp) channels-first with W in lanes; outputs
+Layout: images are (N, C, H, W) channels-first with W in lanes; outputs
 (N, D, C, H, W) / (N, D, H, W).
 """
 
@@ -39,173 +42,234 @@ from jax.experimental.pallas import tpu as pltpu
 
 Array = jax.Array
 
-ROWS = 8  # output rows per program tile
-COLS = 128  # output cols per sub-block
-PAD_Y = 16  # vertical displacement coverage (rows)
-PAD_X = 128  # horizontal displacement coverage (cols)
-SLAB_H = ROWS + 2 * PAD_Y  # 48
-SLAB_W = COLS + 2 * PAD_X  # 384
+ROWS = 16  # output rows per program
+COLS = 128  # output cols per program
+BAND_H = 32  # image band granularity (rows)
+BAND_W = 256  # image band granularity (lanes)
+PAD_Y = 160  # vertical padding of the source image (multiple of BAND_H)
+PAD_X = 256  # horizontal padding (multiple of BAND_W)
+KY = 8  # row tap window (covers within-block dy spread + band residual... see below)
+KX = 120  # max lane taps (dynamic trip count; covers within-block dx spread)
+
+PY_N = 24  # row-permutation output rows (>= KY + ROWS - 1, multiple of 8)
+
+# The aligned slab must cover the worst residual offset plus the tap span.
+assert (BAND_H - 1) + KY + ROWS - 1 <= 2 * BAND_H
+assert (BAND_W - 1) + KX + COLS - 1 <= 2 * BAND_W
+assert PY_N >= KY + ROWS - 1
+
+
+def _corner_displacement_bounds(m, y0, x0, rows, cols):
+    """Displacement extremes of a homography over a sub-block, from its four
+    corners (exact for monotonic/rigid-motion homographies; excess shows up
+    in the coverage counter). Pure scalar math usable in index maps.
+
+    m: tuple of 8 scalars (m22 == 1). Returns (dy_min, dy_max, dx_min,
+    dx_max) as f32 scalars.
+    """
+    m00, m01, m02, m10, m11, m12, m20, m21 = m
+
+    def disp(x, y):
+        x = jnp.float32(1.0) * x
+        y = jnp.float32(1.0) * y
+        den = m20 * x + m21 * y + 1.0 + 1e-7
+        return (m10 * x + m11 * y + m12) / den - y, (
+            m00 * x + m01 * y + m02
+        ) / den - x
+
+    corners = [
+        disp(x0, y0),
+        disp(x0 + cols - 1, y0),
+        disp(x0, y0 + rows - 1),
+        disp(x0 + cols - 1, y0 + rows - 1),
+    ]
+    dys = [c[0] for c in corners]
+    dxs = [c[1] for c in corners]
+    dy_min = jnp.minimum(jnp.minimum(dys[0], dys[1]), jnp.minimum(dys[2], dys[3]))
+    dy_max = jnp.maximum(jnp.maximum(dys[0], dys[1]), jnp.maximum(dys[2], dys[3]))
+    dx_min = jnp.minimum(jnp.minimum(dxs[0], dxs[1]), jnp.minimum(dxs[2], dxs[3]))
+    dx_max = jnp.maximum(jnp.maximum(dxs[0], dxs[1]), jnp.maximum(dxs[2], dxs[3]))
+    return dy_min, dy_max, dx_min, dx_max
+
+
+def _read_hom(hom_ref, n, d, n_depths):
+    flat = n * n_depths + d
+    return tuple(hom_ref[flat, i] for i in range(8))
+
+
+def _bases(m, y0, x0, height, width):
+    """Integer tap bases and band indices for a sub-block (scalar math).
+
+    Must be identical in the index maps and the kernel body so the fetched
+    bands and the tap window agree.
+    """
+    dy_min, dy_max, dx_min, dx_max = _corner_displacement_bounds(
+        m, y0, x0, ROWS, COLS
+    )
+    # Clamp to the padded extent (pixels needing more are out of coverage).
+    by = jnp.clip(jnp.floor(dy_min), -PAD_Y + 0.0, PAD_Y + 0.0)
+    bx = jnp.clip(jnp.floor(dx_min), -PAD_X + 0.0, PAD_X + 0.0)
+    by = by.astype(jnp.int32)
+    bx = bx.astype(jnp.int32)
+    ry = (y0 + by + PAD_Y) // BAND_H  # top band index (padded-image units)
+    lx = (x0 + bx + PAD_X) // BAND_W
+    return by, bx, ry, lx, dy_min, dy_max, dx_min, dx_max
 
 
 def _warp_kernel(
     hom_ref,  # SMEM (N*D, 8) scalar-prefetch: folded homography rows
-    image_ref,  # VMEM (1, C, Hp, Wp) padded source image
-    warped_ref,  # VMEM (1, 1, C, ROWS, W)
-    wmask_ref,  # VMEM (1, 1, ROWS, W)
+    band00_ref,  # VMEM (1, C, BAND_H, BAND_W) image bands around the window
+    band01_ref,
+    band10_ref,
+    band11_ref,
+    warped_ref,  # VMEM (1, 1, C, ROWS, COLS)
+    wmask_ref,  # VMEM (1, 1, ROWS, COLS)
     cov_ref,  # SMEM (N, D) uncovered-pixel counts (full array resident)
-    acc_ref,  # VMEM scratch (C, ROWS, COLS) tap accumulator
-    macc_ref,  # VMEM scratch (ROWS, COLS) mask accumulator
+    acc_ref,  # VMEM scratch (C, ROWS, COLS)
+    macc_ref,  # VMEM scratch (2, ROWS, COLS)
     *,
     height: int,
     width: int,
-    ky: int,
-    kx: int,
     border_radius: int,
     n_depths: int,
 ):
     n = pl.program_id(0)
     d = pl.program_id(1)
     rb = pl.program_id(2)
-    channels = image_ref.shape[1]
+    cb = pl.program_id(3)
+    channels = band00_ref.shape[1]
 
-    flat = n * n_depths + d
-    m00 = hom_ref[flat, 0]
-    m01 = hom_ref[flat, 1]
-    m02 = hom_ref[flat, 2]
-    m10 = hom_ref[flat, 3]
-    m11 = hom_ref[flat, 4]
-    m12 = hom_ref[flat, 5]
-    m20 = hom_ref[flat, 6]
-    m21 = hom_ref[flat, 7]
+    m = _read_hom(hom_ref, n, d, n_depths)
+    m00, m01, m02, m10, m11, m12, m20, m21 = m
 
-    @pl.when(rb == 0)
+    @pl.when((rb == 0) & (cb == 0))
     def _():
         cov_ref[n, d] = 0.0
 
     y0 = rb * ROWS
+    x0 = cb * COLS
 
-    def col_block(cb, _):
-        x0 = cb * COLS
-        rows = (
-            jax.lax.broadcasted_iota(jnp.int32, (ROWS, COLS), 0) + y0
-        ).astype(jnp.float32)
-        cols = (
-            jax.lax.broadcasted_iota(jnp.int32, (ROWS, COLS), 1) + x0
-        ).astype(jnp.float32)
+    by, bx, ry, lx, _, _, _, _ = _bases(m, y0, x0, height, width)
+    byf = by.astype(jnp.float32)
+    bxf = bx.astype(jnp.float32)
 
-        denom = m20 * cols + m21 * rows + 1.0 + 1e-7
-        xs = (m00 * cols + m01 * rows + m02) / denom
-        ys = (m10 * cols + m11 * rows + m12) / denom
+    rows = (jax.lax.broadcasted_iota(jnp.int32, (ROWS, COLS), 0) + y0).astype(
+        jnp.float32
+    )
+    cols = (jax.lax.broadcasted_iota(jnp.int32, (ROWS, COLS), 1) + x0).astype(
+        jnp.float32
+    )
+    denom = m20 * cols + m21 * rows + 1.0 + 1e-7
+    xs = (m00 * cols + m01 * rows + m02) / denom
+    ys = (m10 * cols + m11 * rows + m12) / denom
+    dx = xs - cols
+    dy = ys - rows
 
-        dx = xs - cols
-        dy = ys - rows
+    hint = (xs > -1.0) & (xs < width + 0.0) & (ys > -1.0) & (ys < height)
+    any_hint = jnp.any(hint)
+    uncov = hint & (
+        (dx > bxf + (KX - 1)) | (dy > byf + (KY - 1)) | (dx < bxf) | (dy < byf)
+    )
+    cov_ref[n, d] += jnp.sum(uncov.astype(jnp.float32))
 
-        # Source-in-image hint: only these pixels constrain the window base.
-        hint = (xs > -1.0) & (xs < width + 0.0) & (ys > -1.0) & (ys < height)
-        big = jnp.float32(1e9)
-        dx_min = jnp.min(jnp.where(hint, dx, big))
-        dy_min = jnp.min(jnp.where(hint, dy, big))
-        dx_max = jnp.max(jnp.where(hint, dx, -big))
-        dy_max = jnp.max(jnp.where(hint, dy, -big))
+    fy = dy - byf  # in [0, KY) where covered
+    fx = dx - bxf
 
-        # Integer window bases. Bounds keep every tap inside the un-wrapped
-        # part of the rolled slab: sublane taps use rows [0, ky+ROWS-1) after
-        # a roll by (by + PAD_Y); lane taps use lanes [0, kx+COLS-1).
-        by = jnp.clip(
-            jnp.floor(dy_min), -PAD_Y + 0.0, (SLAB_H - PAD_Y - ROWS - ky) + 0.0
-        ).astype(jnp.int32)
-        bx = jnp.clip(
-            jnp.floor(dx_min), -PAD_X + 0.0, (SLAB_W - PAD_X - COLS - kx) + 0.0
-        ).astype(jnp.int32)
-        byf = by.astype(jnp.float32)
-        bxf = bx.astype(jnp.float32)
+    # Assemble the 32 x 512 slab from the four fetched bands and align its
+    # origin to (y0 + by, x0 + bx). The dynamic integer shift is an exact
+    # one-hot PERMUTATION MATMUL on the MXU (Mosaic's dynamic rotates and
+    # dynamic slices are unreliable on this stack, and bit-decomposed rolls
+    # are VPU-bandwidth-bound).
+    top = jnp.concatenate([band00_ref[0], band01_ref[0]], axis=2)
+    bot = jnp.concatenate([band10_ref[0], band11_ref[0]], axis=2)
+    slab = jnp.concatenate([top, bot], axis=1)  # (C, 32, 512)
 
-        # Coverage diagnostics: in-image pixels needing taps beyond window.
-        any_hint = jnp.any(hint)
-        uncov = hint & (
-            (dx > bxf + (kx - 1)) | (dy > byf + (ky - 1)) | (dx < bxf) | (dy < byf)
-        )
-        cov_ref[n, d] += jnp.sum(uncov.astype(jnp.float32))
+    off_y = (y0 + by + PAD_Y) - ry * BAND_H  # in [0, BAND_H)
+    off_x = (x0 + bx + PAD_X) - lx * BAND_W  # in [0, BAND_W)
 
-        fy = dy - byf  # in [0, ky) where covered
-        fx = dx - bxf
+    n_rows = KY + ROWS - 1
+    row_src = jax.lax.broadcasted_iota(jnp.int32, (2 * BAND_H, PY_N), 0)
+    row_dst = jax.lax.broadcasted_iota(jnp.int32, (2 * BAND_H, PY_N), 1)
+    py = (row_src == row_dst + off_y).astype(jnp.float32)
+    lane_src = jax.lax.broadcasted_iota(jnp.int32, (2 * BAND_W, 256), 0)
+    lane_dst = jax.lax.broadcasted_iota(jnp.int32, (2 * BAND_W, 256), 1)
+    px = (lane_src == lane_dst + off_x).astype(jnp.float32)  # (512, 256)
 
-        # Aligned static slab, aligned to (by, bx) so that
-        # slab[c, r, l] == padded_source[y0 + by + r, x0 + bx + l].
-        # Mosaic's dynamic rotates/slices are unreliable on this stack, so
-        # the dynamic shift is decomposed into blended STATIC rolls (one per
-        # bit of the shift amount) — every primitive static. Row bits run on
-        # the full-height slab; the slab is then trimmed to the tap band so
-        # lane bits touch a third of the data.
-        slab = image_ref[0, :, pl.ds(y0, SLAB_H), pl.ds(x0, SLAB_W)]
+    # py^T selects rows [off_y, off_y+16): (32,16) x (C,32,512) -> (16,C,512).
+    slab = jax.lax.dot_general(
+        py, slab,
+        dimension_numbers=(((0,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    slab = jnp.moveaxis(slab, 0, 1)  # (C, PY_N, 512)
+    # px selects lanes [off_x, off_x+256): exact shift, no wrap-around.
+    slab = jax.lax.dot_general(
+        slab, px,
+        dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (C, 16, 256)
+    slab = slab[:, :n_rows, :]
 
-        shift_y = by + PAD_Y  # in [0, 2*PAD_Y]
-        shift_x = bx + PAD_X  # in [0, 2*PAD_X]
-        # Arithmetic blend (scalar * vector) — Mosaic cannot legalize a
-        # scalar-predicated vector select here.
-        for bit in range(6):  # covers shifts up to 63 rows
-            amt = 1 << bit
-            b = ((shift_y >> bit) & 1).astype(jnp.float32)
-            slab = b * jnp.roll(slab, -amt, axis=1) + (1.0 - b) * slab
-        slab = slab[:, : ky + ROWS - 1, :]
-        for bit in range(9):  # covers shifts up to 511 lanes
-            amt = 1 << bit
-            b = ((shift_x >> bit) & 1).astype(jnp.float32)
-            slab = b * jnp.roll(slab, -amt, axis=2) + (1.0 - b) * slab
+    acc_ref[...] = jnp.zeros((channels, ROWS, COLS), jnp.float32)
+    macc_ref[...] = jnp.zeros((2, ROWS, COLS), jnp.float32)
 
-        acc_ref[...] = jnp.zeros((channels, ROWS, COLS), jnp.float32)
-        macc_ref[...] = jnp.zeros((ROWS, COLS), jnp.float32)
+    # Dynamic lane-tap count: taps sx in [0, sx_hi) with sx_hi from the
+    # actual spread — skipped taps cost nothing (no per-tap branch).
+    fx_max = jnp.max(jnp.where(hint, fx, -jnp.float32(1e9)))
+    sx_hi = jnp.clip(jnp.floor(fx_max).astype(jnp.int32) + 2, 0, KX)
+    fy_max = jnp.max(jnp.where(hint, fy, -jnp.float32(1e9)))
+    sy_hi = jnp.clip(jnp.floor(fy_max).astype(jnp.int32) + 2, 0, KY)
 
-        for sy in range(ky):
-            syf = float(sy)
-            needed_y = (
-                any_hint
-                & (byf + syf > dy_min - 1.0)
-                & (byf + syf < dy_max + 1.0)
+    for sy in range(KY):
+        syf = float(sy)
+
+        @pl.when(any_hint & (sy < sy_hi))
+        def _(sy=sy, syf=syf):
+            wy = jnp.clip(1.0 - jnp.abs(fy - syf), 0.0, 1.0)
+            ty = rows + byf + syf
+            ind_y = ((ty >= border_radius) & (ty < height - border_radius)).astype(
+                jnp.float32
             )
+            macc_ref[0] += wy * ind_y
+            band = slab[:, sy : sy + ROWS, :]
 
-            @pl.when(needed_y)
-            def _(sy=sy, syf=syf):
-                wy = jnp.clip(1.0 - jnp.abs(fy - syf), 0.0, 1.0)
-                ty = rows + byf + syf
-                row_b = slab[:, sy : sy + ROWS, :]
-                for sx in range(kx):
-                    sxf = float(sx)
-                    needed_x = (bxf + sxf > dx_min - 1.0) & (
-                        bxf + sxf < dx_max + 1.0
-                    )
+            def lane_tap(sx, carry):
+                band_r, acc = carry
+                sxf = sx.astype(jnp.float32)
+                wx = jnp.clip(1.0 - jnp.abs(fx - sxf), 0.0, 1.0)
+                acc = acc + (wy * wx)[None] * band_r[:, :, :COLS]
+                return jnp.roll(band_r, -1, axis=2), acc
 
-                    @pl.when(needed_x)
-                    def _(sx=sx, sxf=sxf, row_b=row_b, wy=wy, ty=ty):
-                        wx = jnp.clip(1.0 - jnp.abs(fx - sxf), 0.0, 1.0)
-                        w = wy * wx
-                        tx = cols + bxf + sxf
-                        interior = (
-                            (ty >= border_radius)
-                            & (ty < height - border_radius)
-                            & (tx >= border_radius)
-                            & (tx < width - border_radius)
-                        ).astype(jnp.float32)
-                        patch = row_b[:, :, sx : sx + COLS]
-                        acc_ref[...] += w[None] * patch
-                        macc_ref[...] += w * interior
+            _, acc = jax.lax.fori_loop(
+                0, sx_hi, lane_tap, (band, jnp.zeros_like(acc_ref[...]))
+            )
+            acc_ref[...] += acc
 
-        warped_ref[0, 0, :, :, pl.ds(x0, COLS)] = acc_ref[...]
-        wmask_ref[0, 0, :, pl.ds(x0, COLS)] = macc_ref[...]
-        return 0
+    def mask_tap(sx, carry):
+        sxf = sx.astype(jnp.float32)
+        wx = jnp.clip(1.0 - jnp.abs(fx - sxf), 0.0, 1.0)
+        tx = cols + bxf + sxf
+        ind_x = ((tx >= border_radius) & (tx < width - border_radius)).astype(
+            jnp.float32
+        )
+        return carry + wx * ind_x
 
-    jax.lax.fori_loop(0, width // COLS, col_block, 0)
+    @pl.when(any_hint)
+    def _():
+        macc_ref[1] = jax.lax.fori_loop(
+            0, sx_hi, mask_tap, jnp.zeros((ROWS, COLS), jnp.float32)
+        )
+
+    warped_ref[0, 0] = acc_ref[...]
+    wmask_ref[0, 0] = macc_ref[0] * macc_ref[1]
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("ky", "kx", "border_radius", "interpret"),
-)
+@functools.partial(jax.jit, static_argnames=("border_radius", "interpret"))
 def warp_plane_sweep(
     images: Array,  # (N, C, H, W) float32
     homographies: Array,  # (N, D, 3, 3), normalized so m22 == 1
-    ky: int = 8,
-    kx: int = 48,
     border_radius: int = 2,
     interpret: bool = False,
 ) -> Tuple[Array, Array, Array]:
@@ -223,21 +287,32 @@ def warp_plane_sweep(
     n, c, h, w = images.shape
     d = homographies.shape[1]
     assert h % ROWS == 0 and w % COLS == 0, (h, w)
-    assert ky + ROWS <= SLAB_H - PAD_Y and kx + COLS <= SLAB_W - PAD_X
 
     padded = jnp.pad(images, ((0, 0), (0, 0), (PAD_Y, PAD_Y), (PAD_X, PAD_X)))
 
-    hom = homographies.reshape(n * d, 9)[:, :8]
-    hom = jnp.asarray(hom, jnp.float32)
+    hom = jnp.asarray(homographies.reshape(n * d, 9)[:, :8], jnp.float32)
 
-    grid = (n, d, h // ROWS)
+    grid = (n, d, h // ROWS, w // COLS)
+    n_row_bands = (h + 2 * PAD_Y) // BAND_H
+    n_lane_bands = (w + 2 * PAD_X) // BAND_W
+
+    def band_index(ni, di, rbi, cbi, hom_ref, dr, dl):
+        m = _read_hom(hom_ref, ni, di, d)
+        _, _, ry, lx, *_ = _bases(m, rbi * ROWS, cbi * COLS, h, w)
+        ry = jnp.clip(ry + dr, 0, n_row_bands - 1)
+        lx = jnp.clip(lx + dl, 0, n_lane_bands - 1)
+        return (ni, 0, ry, lx)
+
+    def band_spec(dr, dl):
+        return pl.BlockSpec(
+            (1, c, BAND_H, BAND_W),
+            functools.partial(band_index, dr=dr, dl=dl),
+        )
 
     kernel = functools.partial(
         _warp_kernel,
         height=h,
         width=w,
-        ky=ky,
-        kx=kx,
         border_radius=border_radius,
         n_depths=d,
     )
@@ -246,25 +321,28 @@ def warp_plane_sweep(
         num_scalar_prefetch=1,
         grid=grid,
         in_specs=[
-            pl.BlockSpec(
-                (1, c, h + 2 * PAD_Y, w + 2 * PAD_X),
-                lambda ni, di, rbi, hom: (ni, 0, 0, 0),
-            ),
+            band_spec(0, 0),
+            band_spec(0, 1),
+            band_spec(1, 0),
+            band_spec(1, 1),
         ],
         out_specs=[
             pl.BlockSpec(
-                (1, 1, c, ROWS, w), lambda ni, di, rbi, hom: (ni, di, 0, rbi, 0)
+                (1, 1, c, ROWS, COLS),
+                lambda ni, di, rbi, cbi, hom: (ni, di, 0, rbi, cbi),
             ),
             pl.BlockSpec(
-                (1, 1, ROWS, w), lambda ni, di, rbi, hom: (ni, di, rbi, 0)
+                (1, 1, ROWS, COLS),
+                lambda ni, di, rbi, cbi, hom: (ni, di, rbi, cbi),
             ),
             pl.BlockSpec(
-                (n, d), lambda ni, di, rbi, hom: (0, 0), memory_space=pltpu.SMEM
+                (n, d), lambda ni, di, rbi, cbi, hom: (0, 0),
+                memory_space=pltpu.SMEM,
             ),
         ],
         scratch_shapes=[
             pltpu.VMEM((c, ROWS, COLS), jnp.float32),
-            pltpu.VMEM((ROWS, COLS), jnp.float32),
+            pltpu.VMEM((2, ROWS, COLS), jnp.float32),
         ],
     )
 
@@ -277,5 +355,5 @@ def warp_plane_sweep(
         ],
         grid_spec=grid_spec,
         interpret=interpret,
-    )(hom, padded)
+    )(hom, padded, padded, padded, padded)
     return warped, wmask, cov

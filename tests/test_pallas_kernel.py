@@ -31,7 +31,7 @@ def _expected_shift(img, sx_, sy_):
 
 @pytest.mark.parametrize("shift", [(0.0, 0.0), (3.25, 0.0), (-2.5, 1.0), (17.0, -2.75)])
 def test_known_shift_matches_bilinear(shift):
-    h, w = 8, 128
+    h, w = 16, 128
     rng = np.random.default_rng(0)
     img = rng.uniform(-0.5, 0.5, (h, w)).astype(np.float32)
     m = np.eye(3, dtype=np.float32)
@@ -52,7 +52,7 @@ def test_known_shift_matches_bilinear(shift):
 def test_border_mask_matches_indicator_warp():
     """The analytically-accumulated mask equals bilinear sampling of the
     border-interior indicator (reference create_mask + grid_sample)."""
-    h, w, r = 8, 128, 2
+    h, w, r = 16, 128, 2
     sx_, sy_ = 5.5, -1.25
     m = np.eye(3, dtype=np.float32)
     m[0, 2], m[1, 2] = sx_, sy_
