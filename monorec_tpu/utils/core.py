@@ -151,3 +151,95 @@ class Timer:
 def operator_on_dict(d0: Dict, d1: Dict, op, default=0):
     keys = set(d0) | set(d1)
     return {k: op(d0.get(k, default), d1.get(k, default)) for k in keys}
+
+
+def pose_distance_thresh(
+    keyframe_pose: Array,
+    frame_poses: Array,
+    spatial_thresh: float = 0.6,
+    rotational_thresh: float = 0.05,
+) -> Array:
+    """Per-sample flag: does the temporal window span enough motion?
+
+    Reference ``pose_distance_thresh`` (``utils/util.py:217-222``): spatial
+    expanse of the camera centers plus expanse of the forward directions.
+
+    Args:
+      keyframe_pose: (B, 4, 4); frame_poses: (B, F, 4, 4).
+    Returns:
+      (B,) bool.
+    """
+    poses = jnp.concatenate([keyframe_pose[:, None], frame_poses], axis=1)
+    centers = poses[..., :3, 3]
+    spatial = jnp.linalg.norm(
+        jnp.max(centers, axis=1) - jnp.min(centers, axis=1), axis=-1
+    )
+    fwd = poses[..., :3, 2]  # R @ [0,0,1]
+    rotational = jnp.linalg.norm(
+        jnp.max(fwd, axis=1) - jnp.min(fwd, axis=1), axis=-1
+    )
+    return (spatial > spatial_thresh) | (rotational > rotational_thresh)
+
+
+def dilate_mask(mask: Array, size: int = 15) -> Array:
+    """Binary dilation of an NHWC mask with a size x size box (reference
+    ``dilate_mask``, ``utils/util.py:225-228``)."""
+    binary = (mask >= 0.5).astype(jnp.float32)
+    pad = size // 2
+    counts = jax.lax.reduce_window(
+        jnp.pad(binary, ((0, 0), (pad, size - 1 - pad), (pad, size - 1 - pad), (0, 0))),
+        0.0,
+        jax.lax.add,
+        (1, size, size, 1),
+        (1, 1, 1, 1),
+        "VALID",
+    )
+    return counts > 0
+
+
+def save_frame_for_tsdf(
+    dir_path, index, keyframe, inv_depth, pose,
+    crop=None, min_distance=None, max_distance=None,
+):
+    """Export one frame in the color/depth/pose layout TSDF-fusion tools
+    expect (reference ``save_frame_for_tsdf``, ``utils/util.py:78-91``).
+
+    keyframe: (H, W, 3) in [-0.5, 0.5]; inv_depth: (H, W); pose cam-to-world.
+    """
+    import numpy as np
+    from pathlib import Path
+    from PIL import Image
+
+    dir_path = Path(dir_path)
+    keyframe = np.asarray(keyframe)
+    inv_depth = np.asarray(inv_depth)
+    pose = np.asarray(pose)
+    if crop is not None:
+        t, b, l, r = crop
+        keyframe = keyframe[t:b, l:r]
+        inv_depth = inv_depth[t:b, l:r]
+    rgb = ((keyframe + 0.5) * 255).clip(0, 255).astype(np.uint8)
+    with np.errstate(divide="ignore"):
+        depth_cm = np.where(inv_depth > 0, 100.0 / inv_depth, 0.0)
+    depth_cm = np.where(depth_cm < 0, 0, depth_cm)
+    if min_distance is not None:
+        depth_cm = np.where(depth_cm < min_distance * 100, 0, depth_cm)
+    if max_distance is not None:
+        depth_cm = np.where(depth_cm > max_distance * 100, 0, depth_cm)
+    Image.fromarray(rgb).save(dir_path / f"frame-{index:06d}.color.jpg")
+    Image.fromarray(depth_cm.astype(np.int32), mode="I").save(
+        dir_path / f"frame-{index:06d}.depth.png"
+    )
+    np.savetxt(dir_path / f"frame-{index:06d}.pose.txt", np.linalg.inv(pose))
+
+
+def save_intrinsics_for_tsdf(dir_path, intrinsics, crop=None):
+    """Reference ``save_intrinsics_for_tsdf`` (``utils/util.py:94-98``)."""
+    import numpy as np
+    from pathlib import Path
+
+    k = np.asarray(intrinsics).copy()
+    if crop is not None:
+        k[0, 2] -= crop[2]
+        k[1, 2] -= crop[0]
+    np.savetxt(Path(dir_path) / "camera-intrinsics.txt", k[:3, :3])
