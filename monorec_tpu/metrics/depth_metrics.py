@@ -205,6 +205,11 @@ METRICS: Dict[str, Callable] = {
     if name.endswith("_metric") and callable(fn)
 }
 
+# Factory-made metrics must carry their registry name: trainers key TB tags
+# and the monitor metric on ``fn.__name__``.
+for _name, _fn in METRICS.items():
+    _fn.__name__ = _name
+
 
 def get_metric(name: str) -> Callable:
     if name not in METRICS:

@@ -45,6 +45,9 @@ class CostVolumeConfig:
     use_ssim: int = 1
     sfcv_mult_mask: bool = True
     not_center_cv: bool = False
+    # "float32" (exact reference parity) or "bfloat16" (faster Pallas path:
+    # images quantized to bf16 before warping; ~1e-3 relative CV error).
+    warp_dtype: str = "float32"
 
     @property
     def border_radius(self) -> int:
@@ -269,9 +272,12 @@ def _compute_cost_volume_pallas(
     ).reshape(b * f, d_steps, 3, 3)
 
     images = jnp.moveaxis(frames.reshape(b * f, h, w, c), -1, 1)  # (N, C, H, W)
+    if cfg.warp_dtype == "bfloat16":
+        images = images.astype(jnp.bfloat16)
     warped, wmask, _cov = warp_plane_sweep(
         images, homs, border_radius=cfg.border_radius, interpret=interpret
     )
+    warped = warped.astype(keyframe.dtype)
     # warped: (N, D, C, H, W); wmask: (N, D, H, W)
 
     bmask = border_mask(h, w, cfg.border_radius, keyframe.dtype)

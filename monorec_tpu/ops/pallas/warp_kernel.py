@@ -138,6 +138,7 @@ def _warp_kernel(
     rb = pl.program_id(2)
     cb = pl.program_id(3)
     channels = band00_ref.shape[1]
+    img_dtype = band00_ref.dtype
 
     m = _read_hom(hom_ref, n, d, n_depths)
     m00, m01, m02, m10, m11, m12, m20, m21 = m
@@ -190,27 +191,35 @@ def _warp_kernel(
     n_rows = KY + ROWS - 1
     row_src = jax.lax.broadcasted_iota(jnp.int32, (2 * BAND_H, PY_N), 0)
     row_dst = jax.lax.broadcasted_iota(jnp.int32, (2 * BAND_H, PY_N), 1)
-    py = (row_src == row_dst + off_y).astype(jnp.float32)
+    py = (row_src == row_dst + off_y).astype(img_dtype)
     lane_src = jax.lax.broadcasted_iota(jnp.int32, (2 * BAND_W, 256), 0)
     lane_dst = jax.lax.broadcasted_iota(jnp.int32, (2 * BAND_W, 256), 1)
-    px = (lane_src == lane_dst + off_x).astype(jnp.float32)  # (512, 256)
+    px = (lane_src == lane_dst + off_x).astype(img_dtype)  # (512, 256)
 
-    # py^T selects rows [off_y, off_y+16): (32,16) x (C,32,512) -> (16,C,512).
+    # One-hot selection of bf16 values with f32 accumulation is EXACT at
+    # default matmul precision; f32 images need HIGHEST (operands would
+    # otherwise be rounded to bf16 by the MXU).
+    mm_precision = (
+        jax.lax.Precision.DEFAULT
+        if img_dtype == jnp.bfloat16
+        else jax.lax.Precision.HIGHEST
+    )
+    # py^T selects rows [off_y, off_y+PY_N): (2BH,PY_N) x (C,2BH,512).
     slab = jax.lax.dot_general(
         py, slab,
         dimension_numbers=(((0,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=mm_precision,
     )
     slab = jnp.moveaxis(slab, 0, 1)  # (C, PY_N, 512)
     # px selects lanes [off_x, off_x+256): exact shift, no wrap-around.
     slab = jax.lax.dot_general(
-        slab, px,
+        slab.astype(img_dtype), px,
         dimension_numbers=(((2,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )  # (C, 16, 256)
-    slab = slab[:, :n_rows, :]
+        precision=mm_precision,
+    )  # (C, PY_N, 256)
+    slab = slab[:, :n_rows, :].astype(img_dtype)
 
     acc_ref[...] = jnp.zeros((channels, ROWS, COLS), jnp.float32)
     macc_ref[...] = jnp.zeros((2, ROWS, COLS), jnp.float32)
@@ -239,7 +248,9 @@ def _warp_kernel(
                 band_r, acc = carry
                 sxf = sx.astype(jnp.float32)
                 wx = jnp.clip(1.0 - jnp.abs(fx - sxf), 0.0, 1.0)
-                acc = acc + (wy * wx)[None] * band_r[:, :, :COLS]
+                acc = acc + (wy * wx)[None] * band_r[:, :, :COLS].astype(
+                    jnp.float32
+                )
                 return jnp.roll(band_r, -1, axis=2), acc
 
             _, acc = jax.lax.fori_loop(
@@ -262,13 +273,13 @@ def _warp_kernel(
             0, sx_hi, mask_tap, jnp.zeros((ROWS, COLS), jnp.float32)
         )
 
-    warped_ref[0, 0] = acc_ref[...]
+    warped_ref[0, 0] = acc_ref[...].astype(img_dtype)
     wmask_ref[0, 0] = macc_ref[0] * macc_ref[1]
 
 
 @functools.partial(jax.jit, static_argnames=("border_radius", "interpret"))
 def warp_plane_sweep(
-    images: Array,  # (N, C, H, W) float32
+    images: Array,  # (N, C, H, W) float32 or bfloat16
     homographies: Array,  # (N, D, 3, 3), normalized so m22 == 1
     border_radius: int = 2,
     interpret: bool = False,
@@ -349,7 +360,7 @@ def warp_plane_sweep(
     warped, wmask, cov = pl.pallas_call(
         kernel,
         out_shape=[
-            jax.ShapeDtypeStruct((n, d, c, h, w), jnp.float32),
+            jax.ShapeDtypeStruct((n, d, c, h, w), images.dtype),
             jax.ShapeDtypeStruct((n, d, h, w), jnp.float32),
             jax.ShapeDtypeStruct((n, d), jnp.float32),
         ],

@@ -49,8 +49,18 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: Dict, mesh: Mesh, axis: str = "data") -> Dict:
-    """Device-put a host batch with its leading dim sharded over the mesh."""
-    sharding = batch_sharding(mesh, axis)
-    return jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, sharding), batch
-    )
+    """Device-put a host batch with its leading dim sharded over the mesh.
+
+    Leaves whose batch dimension is not divisible by the mesh (e.g. a final
+    partial batch, or single-sample inference) are replicated instead — the
+    computation still runs, just without data parallelism for that batch.
+    """
+    sharded = batch_sharding(mesh, axis)
+    replicated = replicated_sharding(mesh)
+    n = mesh.devices.size
+
+    def put(x):
+        fits = hasattr(x, "shape") and x.ndim > 0 and x.shape[0] % n == 0
+        return jax.device_put(x, sharded if fits else replicated)
+
+    return jax.tree_util.tree_map(put, batch)

@@ -1,0 +1,157 @@
+"""Integration tests: config system, evaluator, point-cloud export, loggers."""
+
+import json
+import struct
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from monorec_tpu.config import ConfigParser
+from monorec_tpu.data import DataLoader, SyntheticSweepDataset
+from monorec_tpu.eval import Evaluator
+from monorec_tpu.export import PLYWriter, export_pointcloud, pointcloud_masks
+from monorec_tpu.models import MonoRec, MonoRecConfig
+from monorec_tpu.train.loggers import MetricsWriter, make_grid
+from monorec_tpu.train.state import create_train_state
+
+
+def test_config_parser_reference_format(tmp_path):
+    cfg = {
+        "name": "unit",
+        "arch": {
+            "type": "MonoRecModel",
+            "args": {
+                "pretrain_mode": 1,
+                "cv_depth_steps": 4,
+                "augmentation": "depth",
+                "inv_depth_min_max": [0.33, 0.0025],
+                "checkpoint_location": [],
+            },
+        },
+        "data_loader": {
+            "type": "SyntheticSweepDataloader",
+            "args": {
+                "length": 8, "batch_size": 2, "target_image_size": [16, 32],
+                "shuffle": True, "validation_split": 0.25, "num_workers": 1,
+            },
+        },
+        "optimizer": {"type": "Adam", "args": {"lr": 2e-4, "amsgrad": True}},
+        "loss": "depth_loss",
+        "metrics": ["abs_rel_sparse_metric"],
+        "trainer": {"epochs": 1, "save_dir": str(tmp_path), "alpha": 0.5,
+                    "timestamp_replacement": "t0", "tensorboard": False},
+    }
+    path = tmp_path / "cfg.json"
+    path.write_text(json.dumps(cfg))
+
+    parser = ConfigParser(str(path), overrides={"optimizer.args.lr": 5e-4})
+    assert parser["optimizer"]["args"]["lr"] == 5e-4
+    assert (parser.save_dir / "config.json").exists()
+    assert parser.save_dir.name == "t0"
+
+    model, ckpts = parser.build_model()
+    assert model.config.pretrain_mode == 1
+    assert model.config.cv_depth_steps == 4
+    loader = parser.build_data_loader(device_put=False)
+    assert loader.batch_size == 2 and loader.split_validation() is not None
+    assert parser.build_loss().__name__ == "depth_loss"
+    assert parser.build_metrics()[0].__name__ == "abs_rel_sparse_metric"
+    parser.build_optimizer(steps_per_epoch=4)
+
+
+@pytest.fixture(scope="module")
+def tiny_model_setup():
+    ds = SyntheticSweepDataset(length=8, target_image_size=(32, 64))
+    dl = DataLoader(ds, batch_size=4, shuffle=False, num_workers=1)
+    model = MonoRec(MonoRecConfig(cv_depth_steps=4, pretrain_mode=1))
+    batch = next(iter(dl))
+    state = create_train_state(
+        model, batch, jax.random.PRNGKey(0), optax.identity(), train=False
+    )
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    return model, variables, dl
+
+
+def test_evaluator_runs_and_reports(tiny_model_setup, tmp_path):
+    model, variables, dl = tiny_model_setup
+    ev = Evaluator(
+        model, variables, [],
+        {"evaluater": {"max_distance": 80, "median_scaling": False}},
+        dl, run_dir=str(tmp_path),
+    )
+    from monorec_tpu.metrics import get_metric
+
+    ev2 = Evaluator(
+        model, variables,
+        [get_metric("abs_rel_sparse_metric"), get_metric("a1_sparse_metric")],
+        {"evaluater": {"max_distance": 80}}, dl, run_dir=str(tmp_path),
+    )
+    log = ev2.eval()
+    assert np.isfinite(log["abs_rel_sparse_metric"])
+    assert 0.0 <= log["a1_sparse_metric"] <= 1.0
+    out = ev2.save_results(log, {"note": "unit"})
+    assert json.loads(Path(out).read_text())["note"] == "unit"
+
+
+def test_pointcloud_export_writes_valid_ply(tiny_model_setup, tmp_path):
+    model, variables, dl = tiny_model_setup
+    path = export_pointcloud(
+        model, variables, dl, tmp_path / "pc.ply",
+        use_mask=True, min_d=1.0, max_d=100.0, dropout=0.0, progress=False,
+    )
+    raw = Path(path).read_bytes()
+    header_end = raw.index(b"end_header\n") + len(b"end_header\n")
+    header = raw[:header_end].decode("ascii")
+    assert header.startswith("ply\nformat binary_little_endian 1.0")
+    n = int([l for l in header.splitlines() if "element vertex" in l][0].split()[-1])
+    body = raw[header_end:]
+    assert len(body) == n * 6 * 4
+    if n:
+        x, y, z, r, g, b = struct.unpack("<6f", body[:24])
+        assert all(np.isfinite(v) for v in (x, y, z))
+        assert 0 <= r <= 255 and 0 <= g <= 255 and 0 <= b <= 255
+
+
+def test_pointcloud_masks_dilation_veto():
+    cv_mask = jnp.zeros((1, 64, 128, 1))
+    cv_mask = cv_mask.at[0, 32, 64, 0].set(1.0)
+    keep = np.asarray(pointcloud_masks(cv_mask))[0, :, :, 0]
+    # a 33x33 neighborhood around the hit is vetoed
+    assert keep[32, 64] == 0 and keep[32, 64 + 16] == 0
+    assert keep[32, 64 + 17] == 1 and keep[0, 0] == 1
+
+
+def test_ply_writer_depth_range_and_roi(tmp_path):
+    w = PLYWriter(min_d=2.0, max_d=10.0, roi=(2, 6, 2, 6), dropout=0.0)
+    inv_depth = np.full((8, 8), 0.2, np.float32)  # 5 m everywhere
+    inv_depth[3, 3] = 1.0  # 1 m -> below min_d, dropped
+    img = np.zeros((8, 8, 3), np.float32)
+    k = np.eye(4, dtype=np.float32) * 1.0
+    k[0, 0] = k[1, 1] = 4.0
+    k[0, 2] = k[1, 2] = 3.5
+    w.add_depthmap(inv_depth, img, k, np.eye(4, dtype=np.float32))
+    n = len(w.data) // 6
+    assert n == 15  # 4x4 ROI minus the too-close pixel
+
+
+def test_metrics_writer_jsonl(tmp_path):
+    mw = MetricsWriter(tmp_path, enable_tensorboard=False)
+    mw.set_step(0)
+    mw.add_scalar("loss", 1.5)
+    mw.set_step(1, "valid")
+    mw.add_scalar("loss", 1.0)
+    mw.close()
+    lines = [json.loads(l) for l in (tmp_path / "metrics.jsonl").read_text().splitlines()]
+    tags = {l["tag"] for l in lines}
+    assert "loss/train" in tags and "loss/valid" in tags
+
+
+def test_make_grid_shapes():
+    imgs = np.random.default_rng(0).uniform(0, 1, (3, 4, 6, 3)).astype(np.float32)
+    grid = make_grid(imgs, nrow=2)
+    assert grid.shape == (8, 12, 3)
+    assert grid.min() >= 0 and grid.max() <= 1
