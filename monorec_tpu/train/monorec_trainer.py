@@ -78,9 +78,17 @@ class MonoRecTrainer(Trainer):
         elif aug == "mask":
             h, w = batch["keyframe"].shape[1:3]
             mask_params = sample_mask_aug_params(aug_rng, b, h, w)
-            aug_one = lambda x: apply_mask_aug(x, mask_params)
+
+            def aug_one(x):
+                if x.ndim == 5:  # (B, F, H, W, C): per-frame stacks / sfcvs
+                    return jax.vmap(
+                        lambda xf: apply_mask_aug(xf, mask_params),
+                        in_axes=1, out_axes=1,
+                    )(x)
+                return apply_mask_aug(x, mask_params)
+
             data["keyframe"] = aug_one(batch["keyframe"])
-            data["frames"] = jax.vmap(aug_one, in_axes=1, out_axes=1)(batch["frames"])
+            data["frames"] = aug_one(batch["frames"])
             if "stereoframe" in batch:
                 data["stereoframe"] = aug_one(batch["stereoframe"])
             m = (aug_one(batch["mvobj_mask"]) > 0.5).astype(jnp.float32)

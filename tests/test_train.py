@@ -101,3 +101,42 @@ def test_dryrun_multichip_full_stage4():
     from __graft_entry__ import dryrun_multichip
 
     dryrun_multichip(8)
+
+
+def test_stage2_mask_training_step():
+    """Stage-2 protocol: mask augmentation + MaskModule + class-balanced BCE."""
+    from monorec_tpu.losses import mask_loss
+    from monorec_tpu.train import MonoRecTrainer
+
+    ds = SyntheticSweepDataset(
+        length=8, target_image_size=(32, 64), frame_count=2,
+        return_stereo=True, return_mvobj_mask=2,
+    )
+    dl = DataLoader(ds, batch_size=8, shuffle=False, num_workers=1, seed=5)
+    cfg = MonoRecConfig(cv_depth_steps=4, pretrain_mode=2, augmentation="mask")
+    model = MonoRec(cfg)
+    batch = next(iter(dl))
+    tx = make_optimizer({"type": "Adam", "args": {"lr": 1e-4}})
+    state = create_train_state(model, batch, jax.random.PRNGKey(0), tx)
+
+    trainer = MonoRecTrainer(
+        model, mask_loss, [], state,
+        {"trainer": {"compute_mono_pred": False, "compute_stereo_pred": False,
+                     "epochs": 1, "len_epoch": 1, "alpha": 0.5,
+                     "tensorboard": False, "log_step": 100}},
+        dl, run_dir="/tmp/monorec_stage2_test",
+    )
+    trainer._build_steps()
+    from monorec_tpu.parallel import shard_batch
+
+    sharded = shard_batch(batch, trainer.mesh)
+    new_state, loss_dict, metrics, viz = trainer._train_step(
+        trainer.state, sharded, jax.random.PRNGKey(1), 0.5
+    )
+    assert np.isfinite(float(loss_dict["loss"]))
+    assert 0.0 <= float(loss_dict["iou"]) <= 1.0
+    assert viz["result"].shape == (8, 32, 64, 1)
+    # mask-module params must receive gradient
+    before = jax.tree_util.tree_leaves(trainer.state.params["att"])[0]
+    after = jax.tree_util.tree_leaves(new_state.params["att"])[0]
+    assert not np.allclose(np.asarray(before), np.asarray(after))
