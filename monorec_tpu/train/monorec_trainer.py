@@ -178,6 +178,8 @@ class MonoRecTrainer(Trainer):
         metric_fns, roi, max_distance = self.metric_fns, self.roi, self.max_distance
 
         def compute_metrics(data):
+            if not metric_fns:
+                return jnp.zeros((0,))
             return jnp.stack([m(data, roi, max_distance) for m in metric_fns])
 
         def train_step(state: TrainState, batch: Dict, rng, alpha):

@@ -129,6 +129,8 @@ def test_stage2_mask_training_step():
     trainer._build_steps()
     from monorec_tpu.parallel import shard_batch
 
+    # the train step donates the state, so snapshot params first
+    before = np.asarray(jax.tree_util.tree_leaves(trainer.state.params["att"])[0])
     sharded = shard_batch(batch, trainer.mesh)
     new_state, loss_dict, metrics, viz = trainer._train_step(
         trainer.state, sharded, jax.random.PRNGKey(1), 0.5
@@ -137,6 +139,5 @@ def test_stage2_mask_training_step():
     assert 0.0 <= float(loss_dict["iou"]) <= 1.0
     assert viz["result"].shape == (8, 32, 64, 1)
     # mask-module params must receive gradient
-    before = jax.tree_util.tree_leaves(trainer.state.params["att"])[0]
-    after = jax.tree_util.tree_leaves(new_state.params["att"])[0]
-    assert not np.allclose(np.asarray(before), np.asarray(after))
+    after = np.asarray(jax.tree_util.tree_leaves(new_state.params["att"])[0])
+    assert not np.allclose(before, after)
