@@ -90,7 +90,7 @@ def mvobj_index(args):
             has_object[int(file.stem)] = pts > 0
             seq_total += pts > 0
             seq_pts += pts
-        with open(base / "sequences" / seq / "index_mask.json", "w") as f:
+        with open(base / "sequences" / seq / f"{args.output_name}.json", "w") as f:
             json.dump(has_object, f)
         print(
             f"seq {seq}: {seq_total}/{len(has_object)} samples with moving objects, "
@@ -140,6 +140,10 @@ def main():
     m = sub.add_parser("mvobj-index")
     m.add_argument("-d", "--dataset", default="data/dataset")
     m.add_argument("-m", "--mask_folder", default="mvobj_mask")
+    m.add_argument(
+        "-o", "--output_name", default="mvobj_index_mask",
+        help="JSON name the training configs reference via use_index_mask",
+    )
     m.add_argument("-s", "--sequences", nargs="+", default=ALL_SEQUENCES)
     m.set_defaults(fn=mvobj_index)
 
