@@ -118,25 +118,35 @@ def _bases(m, y0, x0, height, width):
 
 def _warp_kernel(
     hom_ref,  # SMEM (N*D, 8) scalar-prefetch: folded homography rows
-    band00_ref,  # VMEM (1, C, BAND_H, BAND_W) image bands around the window
-    band01_ref,
-    band10_ref,
-    band11_ref,
-    warped_ref,  # VMEM (1, 1, C, ROWS, COLS)
-    wmask_ref,  # VMEM (1, 1, ROWS, COLS)
-    cov_ref,  # SMEM (N, D) uncovered-pixel counts (full array resident)
-    acc_ref,  # VMEM scratch (C, ROWS, COLS)
-    macc_ref,  # VMEM scratch (2, ROWS, COLS)
-    *,
+    *refs,  # 4*DCHUNK image-band refs, 3 outputs, 2 scratch (see wrapper)
     height: int,
     width: int,
     border_radius: int,
     n_depths: int,
+    dchunk: int,
 ):
+    band_refs = refs[: 4 * dchunk]
+    warped_ref, wmask_ref, cov_ref, acc_ref, macc_ref = refs[4 * dchunk :]
+
     n = pl.program_id(0)
-    d = pl.program_id(1)
+    dc = pl.program_id(1)
     rb = pl.program_id(2)
     cb = pl.program_id(3)
+
+    for dd in range(dchunk):
+        _one_depth(
+            hom_ref, band_refs[4 * dd : 4 * dd + 4],
+            warped_ref, wmask_ref, cov_ref, acc_ref, macc_ref,
+            n, dc * dchunk + dd, dd, rb, cb,
+            height, width, border_radius, n_depths,
+        )
+
+
+def _one_depth(
+    hom_ref, bands, warped_ref, wmask_ref, cov_ref, acc_ref, macc_ref,
+    n, d, dd, rb, cb, height, width, border_radius, n_depths,
+):
+    band00_ref, band01_ref, band10_ref, band11_ref = bands
     channels = band00_ref.shape[1]
     img_dtype = band00_ref.dtype
 
@@ -273,8 +283,8 @@ def _warp_kernel(
             0, sx_hi, mask_tap, jnp.zeros((ROWS, COLS), jnp.float32)
         )
 
-    warped_ref[0, 0] = acc_ref[...].astype(img_dtype)
-    wmask_ref[0, 0] = macc_ref[0] * macc_ref[1]
+    warped_ref[0, dd] = acc_ref[...].astype(img_dtype)
+    wmask_ref[0, dd] = macc_ref[0] * macc_ref[1]
 
 
 @functools.partial(jax.jit, static_argnames=("border_radius", "interpret"))
@@ -299,25 +309,29 @@ def warp_plane_sweep(
     d = homographies.shape[1]
     assert h % ROWS == 0 and w % COLS == 0, (h, w)
 
+    # Several depth hypotheses share one program to amortize per-program
+    # overhead (grid sequencing + DMA latency dominate the kernel).
+    dchunk = 4 if d % 4 == 0 else (2 if d % 2 == 0 else 1)
+
     padded = jnp.pad(images, ((0, 0), (0, 0), (PAD_Y, PAD_Y), (PAD_X, PAD_X)))
 
     hom = jnp.asarray(homographies.reshape(n * d, 9)[:, :8], jnp.float32)
 
-    grid = (n, d, h // ROWS, w // COLS)
+    grid = (n, d // dchunk, h // ROWS, w // COLS)
     n_row_bands = (h + 2 * PAD_Y) // BAND_H
     n_lane_bands = (w + 2 * PAD_X) // BAND_W
 
-    def band_index(ni, di, rbi, cbi, hom_ref, dr, dl):
-        m = _read_hom(hom_ref, ni, di, d)
+    def band_index(ni, dci, rbi, cbi, hom_ref, dd, dr, dl):
+        m = _read_hom(hom_ref, ni, dci * dchunk + dd, d)
         _, _, ry, lx, *_ = _bases(m, rbi * ROWS, cbi * COLS, h, w)
         ry = jnp.clip(ry + dr, 0, n_row_bands - 1)
         lx = jnp.clip(lx + dl, 0, n_lane_bands - 1)
         return (ni, 0, ry, lx)
 
-    def band_spec(dr, dl):
+    def band_spec(dd, dr, dl):
         return pl.BlockSpec(
             (1, c, BAND_H, BAND_W),
-            functools.partial(band_index, dr=dr, dl=dl),
+            functools.partial(band_index, dd=dd, dr=dr, dl=dl),
         )
 
     kernel = functools.partial(
@@ -326,28 +340,30 @@ def warp_plane_sweep(
         width=w,
         border_radius=border_radius,
         n_depths=d,
+        dchunk=dchunk,
     )
+
+    in_specs = [
+        band_spec(dd, dr, dl)
+        for dd in range(dchunk)
+        for (dr, dl) in ((0, 0), (0, 1), (1, 0), (1, 1))
+    ]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,
-        in_specs=[
-            band_spec(0, 0),
-            band_spec(0, 1),
-            band_spec(1, 0),
-            band_spec(1, 1),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec(
-                (1, 1, c, ROWS, COLS),
-                lambda ni, di, rbi, cbi, hom: (ni, di, 0, rbi, cbi),
+                (1, dchunk, c, ROWS, COLS),
+                lambda ni, dci, rbi, cbi, hom: (ni, dci, 0, rbi, cbi),
             ),
             pl.BlockSpec(
-                (1, 1, ROWS, COLS),
-                lambda ni, di, rbi, cbi, hom: (ni, di, rbi, cbi),
+                (1, dchunk, ROWS, COLS),
+                lambda ni, dci, rbi, cbi, hom: (ni, dci, rbi, cbi),
             ),
             pl.BlockSpec(
-                (n, d), lambda ni, di, rbi, cbi, hom: (0, 0),
+                (n, d), lambda ni, dci, rbi, cbi, hom: (0, 0),
                 memory_space=pltpu.SMEM,
             ),
         ],
@@ -366,5 +382,5 @@ def warp_plane_sweep(
         ],
         grid_spec=grid_spec,
         interpret=interpret,
-    )(hom, padded, padded, padded, padded)
+    )(hom, *([padded] * (4 * dchunk)))
     return warped, wmask, cov
