@@ -45,6 +45,16 @@ def main():
     eps = jnp.float32(0.0)
     float(fwd_chained(variables, batch, eps))  # compile + warmup
 
+    profile_dir = os.environ.get("BENCH_PROFILE_DIR")
+    if profile_dir:
+        # jax.profiler trace of a few steps (the reference's analog is the
+        # ad-hoc cv_module_time / steps_per_sec counters; here you get the
+        # full XLA/TPU timeline).
+        with jax.profiler.trace(profile_dir):
+            for _ in range(3):
+                eps = fwd_chained(variables, batch, eps * 1e-9)
+            float(eps)
+
     iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):

@@ -205,7 +205,8 @@ class MonoRec(nn.Module):
             f = batch["frames"].shape[1] + (1 if cfg.use_stereo else 0)
             sfcv = jnp.zeros((b, f, h, w, cfg.cv_depth_steps), keyframe.dtype)
         else:
-            cv, sfcv = self.cost_volume(batch)
+            with jax.named_scope("cost_volume"):
+                cv, sfcv = self.cost_volume(batch)
 
         flip_cond = None
         if cfg.augmentation == "depth" and train:
@@ -219,7 +220,8 @@ class MonoRec(nn.Module):
         out["cost_volume"] = cv
         out["single_frame_cvs"] = sfcv
 
-        feats = self.features(keyframe)
+        with jax.named_scope("resnet_features"):
+            feats = self.features(keyframe)
         out["image_features"] = feats
 
         if cfg.pretrain_mode in (0, 2):
