@@ -61,18 +61,76 @@ def main():
         eps = fwd_chained(variables, batch, eps * 1e-9)
     float(eps)  # forces the whole chain
     dt = time.perf_counter() - t0
-
     kf_per_sec = batch_size * iters / dt
-    print(
-        json.dumps(
-            {
-                "metric": "kitti_256x512_D32_F2_forward_keyframes_per_sec",
-                "value": round(kf_per_sec, 2),
-                "unit": "keyframes/s/chip",
-                "vs_baseline": round(kf_per_sec / 50.0, 3),
-            }
+
+    result = {
+        "metric": "kitti_256x512_D32_F2_forward_keyframes_per_sec",
+        "value": round(kf_per_sec, 2),
+        "unit": "keyframes/s/chip",
+        "vs_baseline": round(kf_per_sec / 50.0, 3),
+    }
+
+    if os.environ.get("BENCH_TRAIN", "1") != "0":
+        result["train_step_kf_per_sec"] = round(_bench_train_step(batch_size), 2)
+
+    print(json.dumps(result))
+
+
+def _bench_train_step(batch_size: int) -> float:
+    """Stage-1 (depth bootstrap) jitted train-step throughput: forward +
+    depth_loss + backward + adam update, batch sharded over the local mesh."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _make_batch
+    from monorec_tpu.losses import depth_loss
+    from monorec_tpu.models import MonoRec, MonoRecConfig
+    from monorec_tpu.train.state import create_train_state, make_optimizer
+
+    model = MonoRec(
+        MonoRecConfig(
+            cv_depth_steps=32, pretrain_mode=1, pretrain_dropout=0.5,
+            augmentation="depth",
         )
     )
+    batch = _make_batch(batch_size, 256, 512, 2, stereo=True, mask=False)
+    tx = make_optimizer({"type": "Adam", "args": {"lr": 1e-4, "amsgrad": True}})
+    state = create_train_state(model, batch, jax.random.PRNGKey(0), tx)
+    options = ("stereo",)
+
+    @jax.jit
+    def step(state, batch, rng, eps):
+        batch = dict(batch)
+        batch["keyframe"] = batch["keyframe"] + eps
+
+        def losses(params):
+            out = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch, True,
+                rngs={
+                    "dropout": jax.random.fold_in(rng, 0),
+                    "augment": jax.random.fold_in(rng, 1),
+                },
+            )
+            return depth_loss({**batch, **out}, 0.5, None, options)["loss"]
+
+        loss, grads = jax.value_and_grad(losses)(state.params)
+        return state.apply_gradients(grads), loss
+
+    rng = jax.random.PRNGKey(1)
+    eps = jnp.float32(0.0)
+    state, loss = step(state, batch, rng, eps)
+    float(loss)  # compile + warmup
+
+    iters = 5
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, loss = step(state, batch, rng, loss * 1e-12)
+    float(loss)
+    dt = time.perf_counter() - t0
+    return batch_size * iters / dt
 
 
 if __name__ == "__main__":

@@ -55,16 +55,28 @@ def seed_everything(seed: int = 0) -> jax.Array:
 
 def init_state_with_checkpoints(model, batch, rng, tx, ckpts: Dict):
     """Create a train state, then apply stage-curriculum checkpoint loading
-    (full / mask-only / depth-only), mirroring monorec_model.py:630-657."""
+    (full / mask-only / depth-only), mirroring monorec_model.py:630-657.
+
+    Also resolves the ImageNet-encoder requirement: when no full checkpoint
+    provides encoder weights, torchvision-format ResNet weights are injected
+    from ``ckpts['imagenet_weights']`` / the env var / the hub cache, and a
+    loud warning fires if the encoder would be frozen while random."""
+    from monorec_tpu.models.pretrained import (
+        inject_imagenet_encoder,
+        warn_if_frozen_random_encoder,
+    )
     from monorec_tpu.train.checkpoints import load_submodule_params
 
     state = create_train_state(model, batch, rng, tx)
     params = state.params
+    batch_stats = state.batch_stats
+    encoder_loaded = False
     if ckpts.get("checkpoint_location"):
         locs = ckpts["checkpoint_location"]
         params = load_submodule_params(
             params, locs if isinstance(locs, list) else [locs], None
         )
+        encoder_loaded = True
     if ckpts.get("mask_cp_loc"):
         locs = ckpts["mask_cp_loc"]
         params = load_submodule_params(
@@ -75,4 +87,14 @@ def init_state_with_checkpoints(model, batch, rng, tx, ckpts: Dict):
         params = load_submodule_params(
             params, locs if isinstance(locs, list) else [locs], ["depth_net"]
         )
-    return state.replace(params=params)
+    if not encoder_loaded:
+        params, batch_stats, encoder_loaded = inject_imagenet_encoder(
+            params,
+            batch_stats,
+            ckpts.get("imagenet_weights"),
+            getattr(model.config, "resnet_layers", 18),
+        )
+    warn_if_frozen_random_encoder(
+        getattr(model.config, "freeze_resnet", True), encoder_loaded
+    )
+    return state.replace(params=params, batch_stats=batch_stats)

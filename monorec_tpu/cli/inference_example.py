@@ -52,6 +52,18 @@ def main(argv=None):
     params = state.params
     if args.checkpoint:
         params = load_submodule_params(params, [args.checkpoint], None)
+    else:
+        import sys
+
+        print(
+            "=" * 70
+            + "\nWARNING: no --checkpoint given — the model weights are RANDOM.\n"
+            "The saved depth/mask PNGs are NOT the MonoRec golden sample; they\n"
+            "only demonstrate the pipeline. Convert the reference checkpoint\n"
+            "(tools/convert_pth.py monorec_depth_ref.pth <out>) and pass\n"
+            "--checkpoint <out> for real results.\n" + "=" * 70,
+            file=sys.stderr,
+        )
     variables = {"params": params, "batch_stats": state.batch_stats}
 
     fwd = jax.jit(lambda v, b: model.apply(v, b, False))

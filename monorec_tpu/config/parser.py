@@ -68,6 +68,7 @@ def build_model_config(arch_args: Dict) -> Tuple[MonoRecConfig, Dict]:
         "checkpoint_location": arch_args.get("checkpoint_location"),
         "mask_cp_loc": arch_args.get("mask_cp_loc"),
         "depth_cp_loc": arch_args.get("depth_cp_loc"),
+        "imagenet_weights": arch_args.get("imagenet_weights"),
     }
     return MonoRecConfig(**cfg_kwargs), ckpts
 

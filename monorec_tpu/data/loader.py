@@ -67,6 +67,10 @@ class DataLoader:
         self.drop_last = drop_last
         self.prefetch = prefetch
         self.device_put = device_put
+        # When a trainer attaches its mesh, the prefetch thread device-puts
+        # each batch directly with the final (data-axis) sharding so the
+        # batch crosses host->device exactly once.
+        self.mesh = None
         self._rng = np.random.default_rng(seed)
 
         n = len(dataset)
@@ -132,7 +136,11 @@ class DataLoader:
                             break
                         samples = list(pool.map(self.dataset.__getitem__, b))
                         batch = collate(samples)
-                        if self.device_put:
+                        if self.mesh is not None:
+                            from monorec_tpu.parallel import shard_batch
+
+                            batch = shard_batch(batch, self.mesh)
+                        elif self.device_put:
                             import jax
 
                             batch = jax.device_put(batch)

@@ -6,6 +6,7 @@ from monorec_tpu.losses.monorec_losses import (
     depth_aux_mask_loss,
     LOSSES,
 )
+from monorec_tpu.losses.perceptual import PerceptualError
 
 __all__ = [
     "depth_loss",
@@ -14,4 +15,5 @@ __all__ = [
     "depth_refinement_loss",
     "depth_aux_mask_loss",
     "LOSSES",
+    "PerceptualError",
 ]

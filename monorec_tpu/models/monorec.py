@@ -174,7 +174,9 @@ class MonoRec(nn.Module):
             preds = [jax.lax.stop_gradient(p) for p in preds]
         return preds
 
-    def cost_volume(self, batch: Batch, use_mono=None, use_stereo=None):
+    def cost_volume(
+        self, batch: Batch, use_mono=None, use_stereo=None, return_coverage=False
+    ):
         cfg = self.config
         use_mono = cfg.use_mono if use_mono is None else use_mono
         use_stereo = cfg.use_stereo if use_stereo is None else use_stereo
@@ -190,6 +192,7 @@ class MonoRec(nn.Module):
             jnp.float32(cfg.inv_depth_min_max[0]),
             cfg.cv_config(),
             cv_depths=batch.get("cv_depths"),
+            return_coverage=return_coverage,
         )
 
     # ----- full forward (pretrain modes, reference forward :672-729) -----
@@ -206,7 +209,11 @@ class MonoRec(nn.Module):
             sfcv = jnp.zeros((b, f, h, w, cfg.cv_depth_steps), keyframe.dtype)
         else:
             with jax.named_scope("cost_volume"):
-                cv, sfcv = self.cost_volume(batch)
+                cv, sfcv, cv_uncov = self.cost_volume(batch, return_coverage=True)
+            # Kernel coverage diagnostic: nonzero == pixels whose warp source
+            # fell outside the Pallas tap window (degraded CV); trainers log
+            # it so silent corruption is impossible.
+            out["cv_uncovered"] = cv_uncov
 
         flip_cond = None
         if cfg.augmentation == "depth" and train:

@@ -258,8 +258,70 @@ def _compute_cost_volume_pallas(
     inv_depths: Array,  # (D,)
     cfg: CostVolumeConfig,
     interpret: bool = False,
-) -> Tuple[Array, Array]:
-    """Cost volume via the fused Pallas warp kernel (TPU fast path)."""
+) -> Tuple[Array, Array, Array]:
+    """Cost volume via the fully fused Pallas kernel (TPU fast path).
+
+    The kernel computes warp + SSIM + channel-weighted patch-SAD in one pass
+    (the warped stack never reaches HBM); only ``_score_and_fuse`` runs in
+    XLA. Returns fused CV, per-frame CVs and the per-sample uncovered-pixel
+    counts from the kernel's coverage counter.
+    """
+    from monorec_tpu.ops.pallas import plane_sweep_sad
+
+    b, h, w, c = keyframe.shape
+    f = frames.shape[1]
+    d_steps = inv_depths.shape[0]
+
+    homs = plane_sweep_homographies(
+        keyframe_intrinsics, keyframe_pose, frame_intrinsics, frame_poses,
+        inv_depths, h, w,
+    ).reshape(b * f, d_steps, 3, 3)
+
+    images = jnp.moveaxis(frames.reshape(b * f, h, w, c), -1, 1)  # (N, C, H, W)
+    keyframes = jnp.moveaxis(keyframe, -1, 1)  # (B, C, H, W)
+    if cfg.warp_dtype == "bfloat16":
+        images = images.astype(jnp.bfloat16)
+
+    cw = tuple(float(x) / (cfg.patch_size**2) for x in cfg.channel_weights)
+    sad, wmask, cov = plane_sweep_sad(
+        images,
+        keyframes,
+        homs,
+        border_radius=cfg.border_radius,
+        frames_per_image=f,
+        use_ssim=cfg.use_ssim,
+        channel_weights=cw,
+        interpret=interpret,
+    )
+    # sad/wmask: (N, D, H, W); cov: (N, D)
+
+    bmask = border_mask(h, w, cfg.border_radius, keyframe.dtype)
+    valid = bmask[None] * jnp.min(
+        (wmask != 0).astype(keyframe.dtype), axis=1
+    )  # (N, H, W)
+
+    fused, sfcv = _score_and_fuse(
+        sad.reshape(b, f, d_steps, h, w), valid.reshape(b, f, h, w), cfg
+    )
+    return fused, sfcv, jnp.sum(cov.reshape(b, f * d_steps), axis=-1)
+
+
+def _compute_cost_volume_pallas_warp(
+    keyframe: Array,
+    keyframe_intrinsics: Array,
+    keyframe_pose: Array,
+    frames: Array,
+    frame_intrinsics: Array,
+    frame_poses: Array,
+    inv_depths: Array,  # (D,)
+    cfg: CostVolumeConfig,
+    interpret: bool = False,
+) -> Tuple[Array, Array, Array]:
+    """Cost volume via the warp-only Pallas kernel + XLA scoring epilogue.
+
+    Slower than the fused path (materializes the warped stack) but supports
+    ``sfcv_mult_mask=False``, which needs the raw warped values.
+    """
     from monorec_tpu.ops.pallas import warp_plane_sweep
 
     b, h, w, c = keyframe.shape
@@ -274,7 +336,7 @@ def _compute_cost_volume_pallas(
     images = jnp.moveaxis(frames.reshape(b * f, h, w, c), -1, 1)  # (N, C, H, W)
     if cfg.warp_dtype == "bfloat16":
         images = images.astype(jnp.bfloat16)
-    warped, wmask, _cov = warp_plane_sweep(
+    warped, wmask, cov = warp_plane_sweep(
         images, homs, border_radius=cfg.border_radius, interpret=interpret
     )
     warped = warped.astype(keyframe.dtype)
@@ -314,6 +376,7 @@ def _compute_cost_volume_pallas(
     weighted = jnp.einsum("nchw,c->nhw", diff, cw)
     sad = _box_sum_3x3(weighted).reshape(b, f, d_steps, h, w)
 
+    cov_b = jnp.sum(cov.reshape(b, f * d_steps), axis=-1)
     if not cfg.sfcv_mult_mask:
         warped_b = warped.reshape(b, f, d_steps, c, h, w)
         any_nonzero = jnp.any(warped_b != 0, axis=3)
@@ -321,9 +384,10 @@ def _compute_cost_volume_pallas(
         alt_valid = (any_nonzero | all_equal).astype(sad.dtype)
         sfcv = (1.0 - 2.0 * sad) * alt_valid
         fused_nhwd, _ = _score_and_fuse(sad, valid.reshape(b, f, h, w), cfg)
-        return fused_nhwd, jnp.moveaxis(sfcv, 2, -1)
+        return fused_nhwd, jnp.moveaxis(sfcv, 2, -1), cov_b
 
-    return _score_and_fuse(sad, valid.reshape(b, f, h, w), cfg)
+    fused_nhwd, sfcv_nhwd = _score_and_fuse(sad, valid.reshape(b, f, h, w), cfg)
+    return fused_nhwd, sfcv_nhwd, cov_b
 
 
 def compute_cost_volume(
@@ -339,7 +403,8 @@ def compute_cost_volume(
     cv_depths: Optional[Array] = None,
     backend: str = "auto",
     interpret: bool = False,
-) -> Tuple[Array, Array]:
+    return_coverage: bool = False,
+):
     """Batched plane-sweep cost volume.
 
     Args:
@@ -349,13 +414,20 @@ def compute_cost_volume(
       inv_depth_max / inv_depth_min: scalars (shared over batch, as in the
         reference which reads element [0]).
       cv_depths: optional (B, D, H, W) per-pixel depth override.
+      return_coverage: also return the Pallas kernel's per-sample
+        uncovered-pixel counts (B,) — pixels whose warp source fell outside
+        the kernel's tap window, silently degrading to "invalid
+        reprojection". Always 0 for the XLA gather path (unlimited reach)
+        and for rigid driving-scene motion on the kernel path; a nonzero
+        value means the CV is degraded and should be surfaced.
 
     Returns:
-      fused cost volume (B, H, W, D) and per-frame CVs (B, F, H, W, D).
-      The whole computation is wrapped in ``stop_gradient`` — the reference
-      computes the CV under ``no_grad`` (``monorec_model.py:679``).
+      fused cost volume (B, H, W, D) and per-frame CVs (B, F, H, W, D),
+      plus coverage counts if requested. The whole computation is wrapped
+      in ``stop_gradient`` — the reference computes the CV under
+      ``no_grad`` (``monorec_model.py:679``).
     """
-    b, height, width, _ = keyframe.shape
+    b, height, width, channels = keyframe.shape
 
     if backend == "auto":
         on_tpu = jax.default_backend() not in ("cpu", "gpu")
@@ -372,11 +444,25 @@ def compute_cost_volume(
             jnp.asarray(inv_depth_min, keyframe.dtype),
             cfg.depth_steps,
         )
-        fused, sfcv = _compute_cost_volume_pallas(
+        fused_path = (
+            cfg.sfcv_mult_mask
+            and cfg.patch_size == 3
+            and channels == len(cfg.channel_weights)
+        )
+        impl = (
+            _compute_cost_volume_pallas
+            if fused_path
+            else _compute_cost_volume_pallas_warp
+        )
+        fused, sfcv, cov = impl(
             keyframe, keyframe_intrinsics, keyframe_pose, frames,
             frame_intrinsics, frame_poses, inv_depths, cfg, interpret,
         )
-        return jax.lax.stop_gradient(fused), jax.lax.stop_gradient(sfcv)
+        fused = jax.lax.stop_gradient(fused)
+        sfcv = jax.lax.stop_gradient(sfcv)
+        if return_coverage:
+            return fused, sfcv, jax.lax.stop_gradient(cov)
+        return fused, sfcv
 
     if cv_depths is None:
         d = geometry.depth_hypotheses(
@@ -393,4 +479,8 @@ def compute_cost_volume(
             kf, ki, kp, fr, fi, fp, dp, cfg
         )
     )(keyframe, keyframe_intrinsics, keyframe_pose, frames, frame_intrinsics, frame_poses, depths)
-    return jax.lax.stop_gradient(fused), jax.lax.stop_gradient(sfcv)
+    fused = jax.lax.stop_gradient(fused)
+    sfcv = jax.lax.stop_gradient(sfcv)
+    if return_coverage:
+        return fused, sfcv, jnp.zeros((b,), jnp.float32)
+    return fused, sfcv

@@ -1,0 +1,479 @@
+"""Fused Pallas TPU kernel: plane-sweep warp + SSIM + patch-SAD scoring.
+
+Round-2 evolution of ``warp_kernel.py``: instead of materializing the warped
+stack (N, D, C, H, W) in HBM (~800 MB per batch-8 sweep) and scoring it with
+an XLA epilogue of reduce_windows (measured ~100 ms/step), this kernel warps
+an extended block with a 2-pixel halo and computes the photometric score
+*in-register*:
+
+* per program (one (image, row-block, col-block, depth-chunk) cell) the four
+  source-image bands covering the UNION of the chunk's displacement windows
+  are DMA'd via scalar-prefetch-driven index maps; plane-sweep displacement
+  is monotonic in inverse depth, so the union bounds come from the chunk's
+  two endpoint hypotheses;
+* ONE band slab + ONE pair of exact one-hot permutation matmuls (MXU) is
+  shared by all ``dchunk`` hypotheses (the per-depth rebuild dominated the
+  round-1 kernel's flat cost); the banded bilinear tap loop rolls the shared
+  slab once per lane tap and predicates each depth's accumulation on its own
+  tap sub-window;
+* the warped block (C, ROWS+4, COLS+4) never leaves VMEM: SSIM
+  (3x3 uniform window, reflect padding at image borders — replicated by an
+  in-kernel edge fix, ``model/layers.py:91-139``), the channel-weighted sum
+  (5/32, 16/32, 11/32)/9 and the 3x3 patch-SAD box sum
+  (``monorec_model.py:227-248``) are evaluated on the halo'd block, and only
+  the (N, D, H, W) SAD + warped-border-mask maps are written out;
+* keyframe statistics (3x3 window sums of k and k^2) are depth-independent:
+  they are computed once per (image, row, col) cell from a manually DMA'd
+  reflect-padded keyframe block and live in scratch across the depth-chunk
+  grid dimension (innermost);
+* a per-(image, depth) coverage counter reports in-image pixels whose
+  source fell outside the tap window (0 for rigid driving motion; halo
+  pixels may be double-counted by adjacent blocks — the counter is a
+  diagnostic, nonzero == the CV is degraded).
+
+Layout: images (N, C, H, W) channels-first, W in lanes; outputs
+(N, D, H, W) SAD / border-mask and (N, D) coverage.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from monorec_tpu.ops.pallas.warp_kernel import (
+    _corner_displacement_bounds,
+    _read_hom,
+)
+
+Array = jax.Array
+
+ROWS = 16  # output rows per block
+COLS = 128  # output cols per block
+HALO = 2  # SSIM (1) + SAD box (1)
+ROWS_E = ROWS + 2 * HALO  # warped rows computed per block
+COLS_E = COLS + 2 * HALO
+BAND_H = 32  # source band granularity (rows)
+BAND_W = 256  # source band granularity (lanes)
+PAD_Y = 160  # zero padding of the source image (multiple of BAND_H)
+PAD_X = 256
+KY = 12  # row tap window (union over the depth chunk)
+KX = 124  # max lane taps (dynamic trip count)
+PY_N = 32  # row-permutation output rows (>= KY + ROWS_E - 1, mult of 8)
+
+_C1 = 0.01**2
+_C2 = 0.03**2
+
+assert (BAND_H - 1) + KY + ROWS_E - 1 <= 2 * BAND_H
+assert (BAND_W - 1) + KX + COLS_E - 1 <= 2 * BAND_W
+assert PY_N >= KY + ROWS_E - 1
+
+
+def _union_bases(m_first, m_last, y0h, x0h):
+    """Integer tap base + band indices for a block's halo'd extent, covering
+    the union of the chunk's endpoint hypotheses (displacement is monotonic
+    in inverse depth, so interior hypotheses lie between the endpoints).
+
+    Scalar math; must be bit-identical in index maps and kernel body.
+    """
+    b0 = _corner_displacement_bounds(m_first, y0h, x0h, ROWS_E, COLS_E)
+    b1 = _corner_displacement_bounds(m_last, y0h, x0h, ROWS_E, COLS_E)
+    dy_min = jnp.minimum(b0[0], b1[0])
+    dx_min = jnp.minimum(b0[2], b1[2])
+    # Clip so the band window always stays inside the padded image
+    # (pixels needing more land in the coverage counter).
+    by = jnp.clip(jnp.floor(dy_min), -(PAD_Y - HALO) + 0.0, PAD_Y + 0.0)
+    bx = jnp.clip(jnp.floor(dx_min), -(PAD_X - HALO) + 0.0, PAD_X + 0.0)
+    by = by.astype(jnp.int32)
+    bx = bx.astype(jnp.int32)
+    ry = (y0h + by + PAD_Y) // BAND_H
+    lx = (x0h + bx + PAD_X) // BAND_W
+    return by, bx, ry, lx
+
+
+def _box3(a: Array) -> Array:
+    """3x3 window sum over the trailing two axes; shrinks each by 2."""
+    s = a[..., 0:-2, :] + a[..., 1:-1, :] + a[..., 2:, :]
+    return s[..., 0:-2] + s[..., 1:-1] + s[..., 2:]
+
+
+def _sad_kernel(
+    hom_ref,  # SMEM (N*D, 8) scalar-prefetch: folded homography rows
+    band00_ref, band01_ref, band10_ref, band11_ref,  # source bands
+    key_ref,  # (1, 1, 1, C, ROWS_E, COLS_E): halo'd keyframe block (+0.5)
+    sad_ref,  # out (1, dchunk, ROWS, COLS)
+    wmask_ref,  # out (1, dchunk, ROWS, COLS)
+    cov_ref,  # out SMEM (N, D)
+    kst_s,  # scratch (2C, ROWS+2, COLS+2): box3(k), box3(k*k)
+    acc_s,  # scratch (dchunk, C, ROWS_E, COLS_E): warp accumulators
+    macc_s,  # scratch (dchunk, 2, ROWS_E, COLS_E): border-mask accumulators
+    *,
+    height: int,
+    width: int,
+    border_radius: int,
+    n_depths: int,
+    dchunk: int,
+    frames_per_image: int,
+    use_ssim: int,
+    channel_weights: Tuple[float, ...],
+):
+    n = pl.program_id(0)
+    rb = pl.program_id(1)
+    cb = pl.program_id(2)
+    dc = pl.program_id(3)
+
+    channels = band00_ref.shape[1]
+    img_dtype = band00_ref.dtype
+
+    y0h = rb * ROWS - HALO  # halo'd block origin in image coords
+    x0h = cb * COLS - HALO
+
+    # --- keyframe window statistics (depth-independent: computed once per
+    # (image, row, col) cell; the dc grid axis is innermost and the block
+    # index map ignores dc, so Pallas keeps the block resident) -------------
+    if use_ssim in (1, 2):
+
+        @pl.when(dc == 0)
+        def _():
+            k = key_ref[0, 0, 0].astype(jnp.float32)
+            kst_s[0:channels] = _box3(k)
+            kst_s[channels : 2 * channels] = _box3(k * k)
+
+    # --- shared slab for the whole depth chunk ----------------------------
+    ms = [
+        _read_hom(hom_ref, n, dc * dchunk + dd, n_depths) for dd in range(dchunk)
+    ]
+    by, bx, ry, lx = _union_bases(ms[0], ms[-1], y0h, x0h)
+    byf = by.astype(jnp.float32)
+    bxf = bx.astype(jnp.float32)
+
+    rows = (jax.lax.broadcasted_iota(jnp.int32, (ROWS_E, COLS_E), 0) + y0h).astype(
+        jnp.float32
+    )
+    cols = (jax.lax.broadcasted_iota(jnp.int32, (ROWS_E, COLS_E), 1) + x0h).astype(
+        jnp.float32
+    )
+    in_img = (rows >= 0) & (rows < height) & (cols >= 0) & (cols < width)
+
+    # Per-depth sub-pixel residuals w.r.t. the shared base.
+    fys, fxs, wins = [], [], []
+    any_hint = jnp.bool_(False)
+    sy_hi = jnp.int32(0)
+    sx_hi = jnp.int32(0)
+    for dd in range(dchunk):
+        m00, m01, m02, m10, m11, m12, m20, m21 = ms[dd]
+        denom = m20 * cols + m21 * rows + 1.0 + 1e-7
+        xs = (m00 * cols + m01 * rows + m02) / denom
+        ys = (m10 * cols + m11 * rows + m12) / denom
+        dx = xs - cols
+        dy = ys - rows
+        hint = (xs > -1.0) & (xs < width + 0.0) & (ys > -1.0) & (ys < height)
+        hi = hint & in_img
+        uncov = hi & (
+            (dx > bxf + (KX - 1)) | (dy > byf + (KY - 1)) | (dx < bxf) | (dy < byf)
+        )
+        d = dc * dchunk + dd
+
+        @pl.when((rb == 0) & (cb == 0))
+        def _(d=d):
+            cov_ref[n, d] = 0.0
+
+        cov_ref[n, d] += jnp.sum(uncov.astype(jnp.float32))
+
+        fy = dy - byf
+        fx = dx - bxf
+        fys.append(fy)
+        fxs.append(fx)
+        neg = -jnp.float32(1e9)
+        pos = jnp.float32(1e9)
+        fy_max = jnp.max(jnp.where(hi, fy, neg))
+        fx_max = jnp.max(jnp.where(hi, fx, neg))
+        fy_min = jnp.min(jnp.where(hi, fy, pos))
+        fx_min = jnp.min(jnp.where(hi, fx, pos))
+        sylo = jnp.clip(jnp.floor(fy_min).astype(jnp.int32), 0, KY)
+        syhi = jnp.clip(jnp.floor(fy_max).astype(jnp.int32) + 2, 0, KY)
+        sxlo = jnp.clip(jnp.floor(fx_min).astype(jnp.int32), 0, KX)
+        sxhi = jnp.clip(jnp.floor(fx_max).astype(jnp.int32) + 2, 0, KX)
+        wins.append((sylo, syhi, sxlo, sxhi))
+        any_hint = any_hint | jnp.any(hi)
+        sy_hi = jnp.maximum(sy_hi, syhi)
+        sx_hi = jnp.maximum(sx_hi, sxhi)
+
+    # Assemble the 64 x 512 slab and align it to (y0h + by, x0h + bx) with
+    # exact one-hot permutation matmuls (shared by the whole chunk).
+    top = jnp.concatenate([band00_ref[0], band01_ref[0]], axis=2)
+    bot = jnp.concatenate([band10_ref[0], band11_ref[0]], axis=2)
+    slab = jnp.concatenate([top, bot], axis=1)  # (C, 64, 512)
+
+    off_y = (y0h + by + PAD_Y) - ry * BAND_H
+    off_x = (x0h + bx + PAD_X) - lx * BAND_W
+
+    row_src = jax.lax.broadcasted_iota(jnp.int32, (2 * BAND_H, PY_N), 0)
+    row_dst = jax.lax.broadcasted_iota(jnp.int32, (2 * BAND_H, PY_N), 1)
+    py = (row_src == row_dst + off_y).astype(img_dtype)
+    lane_src = jax.lax.broadcasted_iota(jnp.int32, (2 * BAND_W, 256), 0)
+    lane_dst = jax.lax.broadcasted_iota(jnp.int32, (2 * BAND_W, 256), 1)
+    px = (lane_src == lane_dst + off_x).astype(img_dtype)
+
+    mm_precision = (
+        jax.lax.Precision.DEFAULT
+        if img_dtype == jnp.bfloat16
+        else jax.lax.Precision.HIGHEST
+    )
+    slab = jax.lax.dot_general(
+        py, slab,
+        dimension_numbers=(((0,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=mm_precision,
+    )  # (PY_N, C, 512)
+    slab = jnp.moveaxis(slab, 0, 1)
+    slab = jax.lax.dot_general(
+        slab.astype(img_dtype), px,
+        dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=mm_precision,
+    ).astype(img_dtype)  # (C, PY_N, 256)
+
+    acc_s[...] = jnp.zeros(acc_s.shape, jnp.float32)
+    macc_s[...] = jnp.zeros(macc_s.shape, jnp.float32)
+
+    # --- shared banded bilinear tap loop ----------------------------------
+    for sy in range(KY):
+        syf = float(sy)
+
+        @pl.when(any_hint & (sy < sy_hi))
+        def _(sy=sy, syf=syf):
+            band = slab[:, sy : sy + ROWS_E, :]
+            wys = []
+            for dd in range(dchunk):
+                wy = jnp.clip(1.0 - jnp.abs(fys[dd] - syf), 0.0, 1.0)
+                wys.append(wy)
+                sylo, syhi, _, _ = wins[dd]
+
+                @pl.when((sy >= sylo) & (sy < syhi))
+                def _(dd=dd, wy=wy):
+                    ty = rows + byf + syf
+                    ind_y = (
+                        (ty >= border_radius) & (ty < height - border_radius)
+                    ).astype(jnp.float32)
+                    macc_s[dd, 0] += wy * ind_y
+
+            def lane_tap(sx, band_r):
+                sxf = sx.astype(jnp.float32)
+                for dd in range(dchunk):
+                    sylo, syhi, sxlo, sxhi = wins[dd]
+
+                    @pl.when((sy >= sylo) & (sy < syhi) & (sx >= sxlo) & (sx < sxhi))
+                    def _(dd=dd, sxf=sxf, band_r=band_r):
+                        wx = jnp.clip(1.0 - jnp.abs(fxs[dd] - sxf), 0.0, 1.0)
+                        acc_s[dd] += (wys[dd] * wx)[None] * band_r[
+                            :, :, :COLS_E
+                        ].astype(jnp.float32)
+
+                return jnp.roll(band_r, -1, axis=2)
+
+            jax.lax.fori_loop(0, sx_hi, lane_tap, band)
+
+    # --- horizontal border-indicator interpolation (per depth) ------------
+    @pl.when(any_hint)
+    def _():
+        def mask_tap(sx, _):
+            sxf = sx.astype(jnp.float32)
+            for dd in range(dchunk):
+                _, _, sxlo, sxhi = wins[dd]
+
+                @pl.when((sx >= sxlo) & (sx < sxhi))
+                def _(dd=dd, sxf=sxf):
+                    wx = jnp.clip(1.0 - jnp.abs(fxs[dd] - sxf), 0.0, 1.0)
+                    tx = cols + bxf + sxf
+                    ind_x = (
+                        (tx >= border_radius) & (tx < width - border_radius)
+                    ).astype(jnp.float32)
+                    macc_s[dd, 1] += wx * ind_x
+
+            return 0
+
+        jax.lax.fori_loop(0, sx_hi, mask_tap, 0)
+
+    # --- in-register SSIM + channel-weighted 3x3 SAD ----------------------
+    # NOTE on borders: the reference reflect-pads the warped image for SSIM
+    # and zero-pads the weighted diff for the SAD box sum. Both only affect
+    # SAD values within 2 px of the image border — exactly the
+    # border_radius=2 ring that ``valid``'s border_mask zeroes downstream
+    # (monorec_model.py:282-284), so this kernel leaves border-ring SAD
+    # values unspecified instead of spending rolls on the reflection fix.
+    cw = [float(x) for x in channel_weights]
+
+    for dd in range(dchunk):
+        w = acc_s[dd] + 0.5  # warped + 0.5 (SSIM input domain, layers.py:120)
+        k = key_ref[0, 0, 0].astype(jnp.float32)  # already + 0.5
+
+        if use_ssim in (1, 2):
+            mu_x_s = _box3(w)
+            ex2_s = _box3(w * w)
+            exy_s = _box3(w * k)
+            mu_y_s = kst_s[0:channels]
+            ey2_s = kst_s[channels : 2 * channels]
+            mu_x = mu_x_s * (1.0 / 9.0)
+            mu_y = mu_y_s * (1.0 / 9.0)
+            sigma_x = ex2_s * (1.0 / 9.0) - mu_x * mu_x
+            sigma_y = ey2_s * (1.0 / 9.0) - mu_y * mu_y
+            sigma_xy = exy_s * (1.0 / 9.0) - mu_x * mu_y
+            nume = (2.0 * mu_x * mu_y + _C1) * (2.0 * sigma_xy + _C2)
+            deno = (mu_x * mu_x + mu_y * mu_y + _C1) * (sigma_x + sigma_y + _C2)
+            diff = jnp.clip((1.0 - nume / deno) * 0.5, 0.0, 1.0)
+            if use_ssim == 2:
+                l1 = jnp.abs(
+                    w[:, 1 : 1 + ROWS + 2, 1 : 1 + COLS + 2]
+                    - k[:, 1 : 1 + ROWS + 2, 1 : 1 + COLS + 2]
+                )
+                diff = 0.85 * diff + 0.15 * l1
+        elif use_ssim == 0:
+            diff = jnp.abs(
+                w[:, 1 : 1 + ROWS + 2, 1 : 1 + COLS + 2]
+                - k[:, 1 : 1 + ROWS + 2, 1 : 1 + COLS + 2]
+            )
+        else:
+            # 3x3 zero-padded avg-pooled L1 (reference "else" branch).
+            l1 = jnp.abs(w - k) * in_img.astype(jnp.float32)[None]
+            diff = _box3(l1) * (1.0 / 9.0)
+
+        e = cw[0] * diff[0]
+        for c in range(1, channels):
+            e = e + cw[c] * diff[c]
+        sad_ref[0, dd] = _box3(e)
+        wm = macc_s[dd, 0] * macc_s[dd, 1]
+        wmask_ref[0, dd] = wm[HALO : HALO + ROWS, HALO : HALO + COLS]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "border_radius", "frames_per_image", "use_ssim", "channel_weights",
+        "interpret",
+    ),
+)
+def plane_sweep_sad(
+    images: Array,  # (N, C, H, W) float32 or bfloat16 in [-0.5, 0.5]
+    keyframes: Array,  # (B, C, H, W) float32, N == B * frames_per_image
+    homographies: Array,  # (N, D, 3, 3), normalized so m22 == 1
+    border_radius: int = 2,
+    frames_per_image: int = 2,
+    use_ssim: int = 1,
+    channel_weights: Tuple[float, ...] = (5 / 32 / 9, 16 / 32 / 9, 11 / 32 / 9),
+    interpret: bool = False,
+) -> Tuple[Array, Array, Array]:
+    """Fused plane-sweep scoring: SAD(SSIM(warp(images), keyframe)).
+
+    ``channel_weights`` are the reference's per-channel conv3d weights
+    *already divided by patch_size**2* (``monorec_model.py:141-142``); the
+    kernel applies the extra 1/9 of the SSIM window internally.
+
+    Returns sad (N, D, H, W), warped border mask (N, D, H, W), and
+    uncovered-pixel counts (N, D).
+    """
+    n, c, h, w = images.shape
+    b = keyframes.shape[0]
+    d = homographies.shape[1]
+    assert h % ROWS == 0 and w % COLS == 0, (h, w)
+    assert n == b * frames_per_image, (n, b, frames_per_image)
+    assert len(channel_weights) == c
+
+    dchunk = 4 if d % 4 == 0 else (2 if d % 2 == 0 else 1)
+
+    padded = jnp.pad(images, ((0, 0), (0, 0), (PAD_Y, PAD_Y), (PAD_X, PAD_X)))
+    key_p = jnp.pad(
+        keyframes.astype(jnp.float32) + 0.5,
+        ((0, 0), (0, 0), (HALO, HALO), (HALO, HALO)),
+        mode="reflect",
+    )
+    # Overlapping halo'd keyframe blocks, pre-gathered so the kernel reads
+    # them through an ordinary (pipelined) BlockSpec: (B, RB, CB, C, RE, CE).
+    rb_n, cb_n = h // ROWS, w // COLS
+    key_rows = jnp.stack(
+        [key_p[:, :, r * ROWS : r * ROWS + ROWS_E, :] for r in range(rb_n)], 1
+    )
+    key_blocks = jnp.stack(
+        [key_rows[..., cc * COLS : cc * COLS + COLS_E] for cc in range(cb_n)], 2
+    )
+
+    hom = jnp.asarray(homographies.reshape(n * d, 9)[:, :8], jnp.float32)
+
+    grid = (n, h // ROWS, w // COLS, d // dchunk)
+    n_row_bands = (h + 2 * PAD_Y) // BAND_H
+    n_lane_bands = (w + 2 * PAD_X) // BAND_W
+
+    def band_index(ni, rbi, cbi, dci, hom_ref, dr, dl):
+        m0 = _read_hom(hom_ref, ni, dci * dchunk, d)
+        m1 = _read_hom(hom_ref, ni, dci * dchunk + dchunk - 1, d)
+        _, _, ry, lx = _union_bases(m0, m1, rbi * ROWS - HALO, cbi * COLS - HALO)
+        ry = jnp.clip(ry + dr, 0, n_row_bands - 1)
+        lx = jnp.clip(lx + dl, 0, n_lane_bands - 1)
+        return (ni, 0, ry, lx)
+
+    def band_spec(dr, dl):
+        return pl.BlockSpec(
+            (1, c, BAND_H, BAND_W),
+            functools.partial(band_index, dr=dr, dl=dl),
+        )
+
+    kernel = functools.partial(
+        _sad_kernel,
+        height=h,
+        width=w,
+        border_radius=border_radius,
+        n_depths=d,
+        dchunk=dchunk,
+        frames_per_image=frames_per_image,
+        use_ssim=use_ssim,
+        channel_weights=channel_weights,
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            band_spec(0, 0), band_spec(0, 1), band_spec(1, 0), band_spec(1, 1),
+            pl.BlockSpec(
+                (1, 1, 1, c, ROWS_E, COLS_E),
+                lambda ni, rbi, cbi, dci, hom: (
+                    ni // frames_per_image, rbi, cbi, 0, 0, 0
+                ),
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, dchunk, ROWS, COLS),
+                lambda ni, rbi, cbi, dci, hom: (ni, dci, rbi, cbi),
+            ),
+            pl.BlockSpec(
+                (1, dchunk, ROWS, COLS),
+                lambda ni, rbi, cbi, dci, hom: (ni, dci, rbi, cbi),
+            ),
+            pl.BlockSpec(
+                (n, d), lambda ni, rbi, cbi, dci, hom: (0, 0),
+                memory_space=pltpu.SMEM,
+            ),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2 * c, ROWS + 2, COLS + 2), jnp.float32),
+            pltpu.VMEM((dchunk, c, ROWS_E, COLS_E), jnp.float32),
+            pltpu.VMEM((dchunk, 2, ROWS_E, COLS_E), jnp.float32),
+        ],
+    )
+
+    sad, wmask, cov = pl.pallas_call(
+        kernel,
+        out_shape=[
+            jax.ShapeDtypeStruct((n, d, h, w), jnp.float32),
+            jax.ShapeDtypeStruct((n, d, h, w), jnp.float32),
+            jax.ShapeDtypeStruct((n, d), jnp.float32),
+        ],
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(hom, padded, padded, padded, padded, key_blocks)
+    return sad, wmask, cov

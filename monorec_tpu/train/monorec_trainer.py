@@ -42,7 +42,7 @@ from monorec_tpu.train.trainer import Trainer
 class MonoRecTrainer(Trainer):
     def __init__(self, *args, **kwargs):
         super().__init__(*args, **kwargs)
-        tcfg = kwargs.get("config", args[4] if len(args) > 4 else {}).get("trainer", {})
+        tcfg = self.config.get("trainer", {})
         self.compute_mono_pred = tcfg.get("compute_mono_pred", True)
         self.compute_stereo_pred = tcfg.get("compute_stereo_pred", True)
         self.compute_mask = tcfg.get("compute_mask", True)
@@ -115,7 +115,11 @@ class MonoRecTrainer(Trainer):
             stereo_pred = None
 
         # --- B) mono pass -------------------------------------------------
-        cv_m, sfcv_m = apply(MonoRec.cost_volume, batch, use_mono=True, use_stereo=False)
+        cv_m, sfcv_m, cv_uncov = apply(
+            MonoRec.cost_volume, batch,
+            use_mono=True, use_stereo=False, return_coverage=True,
+        )
+        data["cv_uncovered"] = cv_uncov
         cv_m, sfcv_m = aug_one(cv_m), aug_one(sfcv_m)
 
         if self.compute_mask:
@@ -192,6 +196,8 @@ class MonoRecTrainer(Trainer):
             grads, (loss_dict, data) = jax.grad(losses, has_aux=True)(state.params)
             new_state = state.apply_gradients(grads)
             metrics = compute_metrics(data)
+            if "cv_uncovered" in data:
+                loss_dict = dict(loss_dict, cv_uncovered=jnp.sum(data["cv_uncovered"]))
             viz = {"result": data["result"], "mask": data.get("mask")}
             return new_state, loss_dict, metrics, viz
 

@@ -50,11 +50,20 @@ class Trainer:
         self.loss_fn = loss_fn
         self.metric_fns = list(metric_fns)
         self.state = state
+        self.config = config
         self.data_loader = data_loader
         self.valid_data_loader = valid_data_loader
         self.options = tuple(options)
         self.mesh = mesh if mesh is not None else make_mesh()
         self.rng = rng if rng is not None else jax.random.PRNGKey(0)
+        self.optimizer_type = config.get("optimizer", {}).get("type", "Adam")
+
+        # Let the loader's prefetch thread device-put each batch directly
+        # with the trainer's sharding, so the batch crosses PCIe exactly once
+        # (otherwise the loader puts unsharded and shard_batch re-puts).
+        for dl in (data_loader, valid_data_loader):
+            if dl is not None and hasattr(dl, "mesh"):
+                dl.mesh = self.mesh
 
         tcfg = config.get("trainer", {})
         self.epochs = tcfg.get("epochs", 1)
@@ -122,6 +131,8 @@ class Trainer:
             grads, (loss_dict, data) = jax.grad(losses, has_aux=True)(state.params)
             new_state = state.apply_gradients(grads)
             metrics = compute_metrics(data)
+            if "cv_uncovered" in data:
+                loss_dict = dict(loss_dict, cv_uncovered=jnp.sum(data["cv_uncovered"]))
             viz = {
                 "result": data["result"],
                 "mask": data.get("mask", None),
@@ -317,12 +328,31 @@ class Trainer:
                     epoch,
                     self.mnt_best,
                     keep_link="model_best" if best else None,
+                    optimizer_type=self.optimizer_type,
                 )
         return log
 
     def resume(self, checkpoint_path: str, restore_optimizer: bool = True):
         payload = ckpt.load_checkpoint(Path(checkpoint_path))
-        self.state = ckpt.restore_state(self.state, payload, restore_optimizer)
+        # Restore optimizer state only if the optimizer type is unchanged —
+        # warn and continue otherwise (reference base/base_trainer.py:180-188).
+        saved_opt = payload.get("meta", {}).get("optimizer_type")
+        if restore_optimizer and saved_opt is not None and saved_opt != self.optimizer_type:
+            self.logger.warning(
+                f"Checkpoint optimizer type '{saved_opt}' differs from config "
+                f"'{self.optimizer_type}'; optimizer state not restored."
+            )
+            restore_optimizer = False
+        try:
+            self.state = ckpt.restore_state(self.state, payload, restore_optimizer)
+        except (ValueError, TypeError) as e:
+            if not restore_optimizer:
+                raise
+            self.logger.warning(
+                f"Optimizer state incompatible with current optimizer ({e}); "
+                "restoring parameters only."
+            )
+            self.state = ckpt.restore_state(self.state, payload, False)
         meta = payload.get("meta", {})
         self.start_epoch = int(meta.get("epoch", 0)) + 1
         self.mnt_best = float(meta.get("monitor_best", self.mnt_best))

@@ -39,21 +39,30 @@ def _torch_ssim_default(x, y):
     return torch.clamp((1 - n / d) / 2, 0, 1)
 
 
-def _torch_cost_volume(keyframe, key_k, key_pose, frames, ks, poses, depths):
-    """Oracle. keyframe: (3,H,W) torch; frames: list of (3,H,W); depths: (D,)."""
+def _torch_cost_volume(
+    keyframe, key_k, key_pose, frames, ks, poses, depths, use_ssim=1
+):
+    """Oracle. keyframe: (3,H,W) torch; frames: list of (3,H,W); depths: (D,).
+
+    ``use_ssim`` follows the reference branches (monorec_model.py:227-243):
+    1 -> SSIM, 2 -> 0.85*SSIM + 0.15*L1, 0 -> raw L1, else -> 3x3 avg-pooled
+    L1.
+    """
+    h, w = keyframe.shape[-2:]
+    d_steps = depths.shape[0]
     ys, xs = torch.meshgrid(
-        torch.arange(H, dtype=torch.float32),
-        torch.arange(W, dtype=torch.float32),
+        torch.arange(h, dtype=torch.float32),
+        torch.arange(w, dtype=torch.float32),
         indexing="ij",
     )
-    coord = torch.stack([xs.reshape(-1), ys.reshape(-1), torch.ones(H * W)], 0)
+    coord = torch.stack([xs.reshape(-1), ys.reshape(-1), torch.ones(h * w)], 0)
 
     inv_k = torch.inverse(key_k)
     rays = inv_k[:3, :3] @ coord  # (3, HW)
-    cam = depths.view(D, 1, 1) * rays.unsqueeze(0)  # (D,3,HW)
-    cam = torch.cat([cam, torch.ones(D, 1, H * W)], dim=1)  # (D,4,HW)
+    cam = depths.view(d_steps, 1, 1) * rays.unsqueeze(0)  # (D,3,HW)
+    cam = torch.cat([cam, torch.ones(d_steps, 1, h * w)], dim=1)  # (D,4,HW)
 
-    border = torch.zeros(1, 1, H, W)
+    border = torch.zeros(1, 1, h, w)
     border[:, :, 2:-2, 2:-2] = 1.0
 
     sads, valids = [], []
@@ -62,17 +71,33 @@ def _torch_cost_volume(keyframe, key_k, key_pose, frames, ks, poses, depths):
         proj = (k @ t)[:3, :]
         pc = torch.einsum("ij,djn->din", proj, cam)
         xy = pc[:, :2, :] / (pc[:, 2:3, :] + 1e-7)
-        xy[:, 0, :] /= W - 1
-        xy[:, 1, :] /= H - 1
-        grid = ((xy - 0.5) * 2).clamp(-2, 2).view(D, 2, H, W).permute(0, 2, 3, 1)
+        xy[:, 0, :] /= w - 1
+        xy[:, 1, :] /= h - 1
+        grid = (
+            ((xy - 0.5) * 2).clamp(-2, 2).view(d_steps, 2, h, w).permute(0, 2, 3, 1)
+        )
 
         warped = F.grid_sample(
-            frame.unsqueeze(0).expand(D, -1, -1, -1), grid, align_corners=False
+            frame.unsqueeze(0).expand(d_steps, -1, -1, -1), grid, align_corners=False
         )
-        wb = F.grid_sample(border.expand(D, -1, -1, -1), grid, align_corners=False)
+        wb = F.grid_sample(
+            border.expand(d_steps, -1, -1, -1), grid, align_corners=False
+        )
         valid = border[0] * torch.min(wb != 0, dim=0)[0]  # (1,H,W)
 
-        diff = _torch_ssim_default(warped + 0.5, keyframe.unsqueeze(0).expand(D, -1, -1, -1) + 0.5)
+        key_e = keyframe.unsqueeze(0).expand(d_steps, -1, -1, -1)
+        if use_ssim == 1:
+            diff = _torch_ssim_default(warped + 0.5, key_e + 0.5)
+        elif use_ssim == 2:
+            diff = 0.85 * _torch_ssim_default(warped + 0.5, key_e + 0.5) + (
+                0.15 * torch.abs(warped - key_e)
+            )
+        elif use_ssim == 0:
+            diff = torch.abs(warped - key_e)
+        else:
+            diff = F.avg_pool2d(
+                torch.abs(warped - key_e), kernel_size=3, stride=1, padding=1
+            )
         weighted = torch.einsum("dchw,c->dhw", diff, torch.from_numpy(CW)) / 9.0
         sad = F.conv2d(
             weighted.unsqueeze(1), torch.ones(1, 1, 3, 3), padding=1
@@ -85,7 +110,7 @@ def _torch_cost_volume(keyframe, key_k, key_pose, frames, ks, poses, depths):
     sfcv = (1 - 2 * sads) * valids
 
     sharp = torch.exp(-ALPHA * (sads - sads.min(dim=1, keepdim=True)[0]) ** 2)
-    weight = (1 - (sharp.sum(dim=1, keepdim=True) - 1) / (D - 1)) * valids
+    weight = (1 - (sharp.sum(dim=1, keepdim=True) - 1) / (d_steps - 1)) * valids
 
     fused = (sads * weight).sum(dim=0)
     wsum = weight.sum(dim=0).squeeze(0)
@@ -96,8 +121,10 @@ def _torch_cost_volume(keyframe, key_k, key_pose, frames, ks, poses, depths):
     return fused, sfcv
 
 
-@pytest.mark.parametrize("seed", [0, 1])
-def test_cost_volume_matches_torch_oracle(seed):
+@pytest.mark.parametrize(
+    "seed,use_ssim", [(0, 1), (1, 1), (0, 2), (0, 0), (0, -1)]
+)
+def test_cost_volume_matches_torch_oracle(seed, use_ssim):
     rng = np.random.default_rng(seed)
     key = rng.uniform(-0.5, 0.5, (H, W, 3)).astype(np.float32)
     frames = rng.uniform(-0.5, 0.5, (2, H, W, 3)).astype(np.float32)
@@ -120,7 +147,7 @@ def test_cost_volume_matches_torch_oracle(seed):
         jnp.asarray(poses[None]),
         jnp.float32(0.0025),
         jnp.float32(0.33),
-        CostVolumeConfig(depth_steps=D),
+        CostVolumeConfig(depth_steps=D, use_ssim=use_ssim),
     )
 
     t_fused, t_sfcv = _torch_cost_volume(
@@ -131,6 +158,7 @@ def test_cost_volume_matches_torch_oracle(seed):
         [torch.from_numpy(k), torch.from_numpy(k)],
         [torch.from_numpy(p) for p in poses],
         torch.from_numpy(depths),
+        use_ssim=use_ssim,
     )
 
     np.testing.assert_allclose(

