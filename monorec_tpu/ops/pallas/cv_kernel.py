@@ -61,9 +61,11 @@ BAND_H = 32  # source band granularity (rows)
 BAND_W = 256  # source band granularity (lanes)
 PAD_Y = 160  # zero padding of the source image (multiple of BAND_H)
 PAD_X = 256
-KY = 12  # row tap window (union over the depth chunk)
+KY = 14  # row tap window (union over the depth chunk; 14 covers the
+# worst rigid-motion union spread: ~7 px within-block + ~4 px inter-depth
+# + 2 bilinear/floor margin, verified on the tz=0.8 pose in tpu_checks)
 KX = 124  # max lane taps (dynamic trip count)
-PY_N = 32  # row-permutation output rows (>= KY + ROWS_E - 1, mult of 8)
+PY_N = 40  # row-permutation output rows (>= KY + ROWS_E - 1, mult of 8)
 
 _C1 = 0.01**2
 _C2 = 0.03**2
@@ -160,7 +162,7 @@ def _sad_kernel(
     in_img = (rows >= 0) & (rows < height) & (cols >= 0) & (cols < width)
 
     # Per-depth sub-pixel residuals w.r.t. the shared base.
-    fys, fxs, wins = [], [], []
+    fys, fxs = [], []
     any_hint = jnp.bool_(False)
     sy_hi = jnp.int32(0)
     sx_hi = jnp.int32(0)
@@ -189,16 +191,10 @@ def _sad_kernel(
         fys.append(fy)
         fxs.append(fx)
         neg = -jnp.float32(1e9)
-        pos = jnp.float32(1e9)
         fy_max = jnp.max(jnp.where(hi, fy, neg))
         fx_max = jnp.max(jnp.where(hi, fx, neg))
-        fy_min = jnp.min(jnp.where(hi, fy, pos))
-        fx_min = jnp.min(jnp.where(hi, fx, pos))
-        sylo = jnp.clip(jnp.floor(fy_min).astype(jnp.int32), 0, KY)
         syhi = jnp.clip(jnp.floor(fy_max).astype(jnp.int32) + 2, 0, KY)
-        sxlo = jnp.clip(jnp.floor(fx_min).astype(jnp.int32), 0, KX)
         sxhi = jnp.clip(jnp.floor(fx_max).astype(jnp.int32) + 2, 0, KX)
-        wins.append((sylo, syhi, sxlo, sxhi))
         any_hint = any_hint | jnp.any(hi)
         sy_hi = jnp.maximum(sy_hi, syhi)
         sx_hi = jnp.maximum(sx_hi, sxhi)
@@ -242,38 +238,34 @@ def _sad_kernel(
     macc_s[...] = jnp.zeros(macc_s.shape, jnp.float32)
 
     # --- shared banded bilinear tap loop ----------------------------------
+    # The loop bodies are BRANCH-FREE per tap: a tap outside a hypothesis'
+    # window contributes an exact zero through the clipped hat weight, so
+    # per-depth predication would only add scalar-core branches (hundreds
+    # per program under forward motion — measured to dominate the kernel).
+    # Only the dynamic trip counts (sy_hi / sx_hi from the actual spread)
+    # bound the executed taps.
     for sy in range(KY):
         syf = float(sy)
 
         @pl.when(any_hint & (sy < sy_hi))
         def _(sy=sy, syf=syf):
             band = slab[:, sy : sy + ROWS_E, :]
+            ty = rows + byf + syf
+            ind_y = (
+                (ty >= border_radius) & (ty < height - border_radius)
+            ).astype(jnp.float32)
             wys = []
             for dd in range(dchunk):
                 wy = jnp.clip(1.0 - jnp.abs(fys[dd] - syf), 0.0, 1.0)
                 wys.append(wy)
-                sylo, syhi, _, _ = wins[dd]
-
-                @pl.when((sy >= sylo) & (sy < syhi))
-                def _(dd=dd, wy=wy):
-                    ty = rows + byf + syf
-                    ind_y = (
-                        (ty >= border_radius) & (ty < height - border_radius)
-                    ).astype(jnp.float32)
-                    macc_s[dd, 0] += wy * ind_y
+                macc_s[dd, 0] += wy * ind_y
 
             def lane_tap(sx, band_r):
                 sxf = sx.astype(jnp.float32)
+                src = band_r[:, :, :COLS_E].astype(jnp.float32)
                 for dd in range(dchunk):
-                    sylo, syhi, sxlo, sxhi = wins[dd]
-
-                    @pl.when((sy >= sylo) & (sy < syhi) & (sx >= sxlo) & (sx < sxhi))
-                    def _(dd=dd, sxf=sxf, band_r=band_r):
-                        wx = jnp.clip(1.0 - jnp.abs(fxs[dd] - sxf), 0.0, 1.0)
-                        acc_s[dd] += (wys[dd] * wx)[None] * band_r[
-                            :, :, :COLS_E
-                        ].astype(jnp.float32)
-
+                    wx = jnp.clip(1.0 - jnp.abs(fxs[dd] - sxf), 0.0, 1.0)
+                    acc_s[dd] += (wys[dd] * wx)[None] * src
                 return jnp.roll(band_r, -1, axis=2)
 
             jax.lax.fori_loop(0, sx_hi, lane_tap, band)
@@ -283,18 +275,13 @@ def _sad_kernel(
     def _():
         def mask_tap(sx, _):
             sxf = sx.astype(jnp.float32)
+            tx = cols + bxf + sxf
+            ind_x = (
+                (tx >= border_radius) & (tx < width - border_radius)
+            ).astype(jnp.float32)
             for dd in range(dchunk):
-                _, _, sxlo, sxhi = wins[dd]
-
-                @pl.when((sx >= sxlo) & (sx < sxhi))
-                def _(dd=dd, sxf=sxf):
-                    wx = jnp.clip(1.0 - jnp.abs(fxs[dd] - sxf), 0.0, 1.0)
-                    tx = cols + bxf + sxf
-                    ind_x = (
-                        (tx >= border_radius) & (tx < width - border_radius)
-                    ).astype(jnp.float32)
-                    macc_s[dd, 1] += wx * ind_x
-
+                wx = jnp.clip(1.0 - jnp.abs(fxs[dd] - sxf), 0.0, 1.0)
+                macc_s[dd, 1] += wx * ind_x
             return 0
 
         jax.lax.fori_loop(0, sx_hi, mask_tap, 0)

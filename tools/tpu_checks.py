@@ -53,16 +53,23 @@ def build(b, f, h, w, seed=0):
     )
 
 
-def parity():
-    args = build(2, 2, 64, 128)
-    cfg = CostVolumeConfig(depth_steps=8)
+def parity(b=2, f=2, h=64, w=128, d_steps=8):
+    args = build(b, f, h, w)
+    cfg = CostVolumeConfig(depth_steps=d_steps)
     ref = jax.jit(lambda *a: compute_cost_volume(*a, cfg, backend="xla"))(*args)
-    new = jax.jit(lambda *a: compute_cost_volume(*a, cfg, backend="pallas"))(*args)
+    new = jax.jit(
+        lambda *a: compute_cost_volume(
+            *a, cfg, backend="pallas", return_coverage=True
+        )
+    )(*args)
+    cov = np.asarray(new[2])
     ok = True
     for name, (r, n) in zip(("fused", "sfcv"), zip(ref, new)):
-        d = np.abs(np.asarray(r) - np.asarray(n))
-        print(f"parity {name}: max {d.max():.2e} mean {d.mean():.2e}")
-        ok &= d.max() < 1e-3
+        diff = np.abs(np.asarray(r) - np.asarray(n))
+        print(f"parity {h}x{w} D{d_steps} {name}: max {diff.max():.2e} mean {diff.mean():.2e}")
+        ok &= diff.max() < 1e-3
+    print(f"coverage {h}x{w} D{d_steps}: uncovered={cov.sum():.0f}")
+    ok &= cov.sum() == 0
     print("PARITY", "PASS" if ok else "FAIL")
     return ok
 
@@ -89,5 +96,8 @@ def perf():
 
 if __name__ == "__main__":
     ok = parity()
+    # Full-res, high-disparity-spread pose (tz=0.8): stresses the kernel's
+    # union tap windows; coverage must stay 0 across the whole image.
+    ok &= parity(1, 2, 256, 512, 32)
     perf()
     sys.exit(0 if ok else 1)
