@@ -70,6 +70,20 @@ def main():
         "vs_baseline": round(kf_per_sec / 50.0, 3),
     }
 
+    # Same forward under KITTI-like ego-motion (~0.8 m forward between
+    # source frames): the larger plane-sweep displacement spread exercises
+    # the kernel's tap loop, so this is the conservative throughput bound.
+    batch_fwd = _make_batch(batch_size, 256, 512, 2, stereo=False, mask=False, tz=0.4)
+    eps = jnp.float32(0.0)
+    float(fwd_chained(variables, batch_fwd, eps))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        eps = fwd_chained(variables, batch_fwd, eps * 1e-9)
+    float(eps)
+    result["value_fwd_motion"] = round(
+        batch_size * iters / (time.perf_counter() - t0), 2
+    )
+
     if os.environ.get("BENCH_TRAIN", "1") != "0":
         result["train_step_kf_per_sec"] = round(_bench_train_step(batch_size), 2)
 

@@ -11,11 +11,14 @@ an extended block with a 2-pixel halo and computes the photometric score
   are DMA'd via scalar-prefetch-driven index maps; plane-sweep displacement
   is monotonic in inverse depth, so the union bounds come from the chunk's
   two endpoint hypotheses;
-* ONE band slab + ONE pair of exact one-hot permutation matmuls (MXU) is
-  shared by all ``dchunk`` hypotheses (the per-depth rebuild dominated the
-  round-1 kernel's flat cost); the banded bilinear tap loop rolls the shared
-  slab once per lane tap and predicates each depth's accumulation on its own
-  tap sub-window;
+* ONE row-aligned band slab (an exact one-hot permutation matmul) is shared
+  by all ``dchunk`` hypotheses; the x displacement profile — which varies by
+  tens of pixels across a block under forward motion (zoom about the FOE) —
+  is absorbed by a PER-LANE integer shear folded into the lane-selection
+  one-hots: each of the (dynamically few) sheared slabs is a single MXU
+  matmul (bf16 hi/lo two-pass, ~1e-5 relative), and the bilinear tap loop
+  only covers the per-lane residual (fraction + inter-depth drift), reading
+  the sheared slabs back at static offsets — no rolls, no per-tap branches;
 * the warped block (C, ROWS+4, COLS+4) never leaves VMEM: SSIM
   (3x3 uniform window, reflect padding at image borders — replicated by an
   in-kernel edge fix, ``model/layers.py:91-139``), the channel-weighted sum
@@ -64,15 +67,19 @@ PAD_X = 256
 KY = 14  # row tap window (union over the depth chunk; 14 covers the
 # worst rigid-motion union spread: ~7 px within-block + ~4 px inter-depth
 # + 2 bilinear/floor margin, verified on the tz=0.8 pose in tpu_checks)
-KX = 124  # max lane taps (dynamic trip count)
 PY_N = 40  # row-permutation output rows (>= KY + ROWS_E - 1, mult of 8)
+R_MAX = 16  # residual lane taps after the per-lane shear (fraction +
+# inter-depth drift, up to ~12 px at near depths under tz~0.8 + margin)
+# Largest per-lane shear that keeps every sheared read inside the 512-lane
+# slab: src = dst + off_x + xsh + s <= 511.
+XSH_MAX = (2 * BAND_W - 1) - (BAND_W - 1) - (COLS_E - 1) - (R_MAX - 1)
 
 _C1 = 0.01**2
 _C2 = 0.03**2
 
 assert (BAND_H - 1) + KY + ROWS_E - 1 <= 2 * BAND_H
-assert (BAND_W - 1) + KX + COLS_E - 1 <= 2 * BAND_W
 assert PY_N >= KY + ROWS_E - 1
+assert XSH_MAX > 0
 
 
 def _union_bases(m_first, m_last, y0h, x0h):
@@ -113,6 +120,8 @@ def _sad_kernel(
     kst_s,  # scratch (2C, ROWS+2, COLS+2): box3(k), box3(k*k)
     acc_s,  # scratch (dchunk, C, ROWS_E, COLS_E): warp accumulators
     macc_s,  # scratch (dchunk, 2, ROWS_E, COLS_E): border-mask accumulators
+    shear_s,  # scratch (R_MAX, C, PY_N, 256): sheared slabs
+    wx_s,  # scratch (R_MAX, dchunk, ROWS_E, COLS_E): x tap weights
     *,
     height: int,
     width: int,
@@ -161,22 +170,52 @@ def _sad_kernel(
     )
     in_img = (rows >= 0) & (rows < height) & (cols >= 0) & (cols < width)
 
-    # Per-depth sub-pixel residuals w.r.t. the shared base.
-    fys, fxs = [], []
+    # --- per-depth displacements + the per-lane x shear -------------------
+    # The x displacement of rigid plane-sweep motion varies mostly along x
+    # (forward motion = zoom about the FOE) — a uniform lane base would need
+    # up to ~50 taps per block at near depths. Instead a PER-LANE integer
+    # shift (the "shear") absorbs that profile: the shear is folded into the
+    # lane-selection one-hot, so each of the R_MAX sheared slabs is one MXU
+    # matmul, and the tap loop only covers the per-lane residual (fraction +
+    # inter-depth drift + rotation-induced row variation).
+    dxs, dys, his = [], [], []
     any_hint = jnp.bool_(False)
-    sy_hi = jnp.int32(0)
-    sx_hi = jnp.int32(0)
     for dd in range(dchunk):
         m00, m01, m02, m10, m11, m12, m20, m21 = ms[dd]
         denom = m20 * cols + m21 * rows + 1.0 + 1e-7
         xs = (m00 * cols + m01 * rows + m02) / denom
         ys = (m10 * cols + m11 * rows + m12) / denom
-        dx = xs - cols
-        dy = ys - rows
         hint = (xs > -1.0) & (xs < width + 0.0) & (ys > -1.0) & (ys < height)
-        hi = hint & in_img
+        dxs.append(xs - cols)
+        dys.append(ys - rows)
+        his.append(hint & in_img)
+        any_hint = any_hint | jnp.any(his[-1])
+
+    pos = jnp.float32(1e9)
+    neg = -pos
+    # Per-lane shear from the chunk's endpoint hypotheses (displacement is
+    # monotonic in inverse depth, so interiors lie between the endpoint
+    # VALUES per pixel — the min must run over pixels hinted at ANY depth,
+    # since a mid-depth pixel can be in-image while both endpoints are not).
+    any_hi = his[0]
+    for hh in his[1:]:
+        any_hi = any_hi | hh
+    end_min = jnp.where(any_hi, jnp.minimum(dxs[0], dxs[-1]), pos)
+    xsh = jnp.min(end_min, axis=0, keepdims=True) - bxf  # (1, COLS_E)
+    xsh = jnp.clip(jnp.floor(xsh), 0.0, float(XSH_MAX)).astype(jnp.int32)
+    xshf = xsh.astype(jnp.float32)
+
+    fys, fxrs = [], []
+    sy_hi = jnp.int32(0)
+    r_hi = jnp.int32(0)
+    for dd in range(dchunk):
+        fy = dys[dd] - byf
+        fxr = dxs[dd] - bxf - xshf  # residual after the per-lane shear
+        fys.append(fy)
+        fxrs.append(fxr)
+        hi = his[dd]
         uncov = hi & (
-            (dx > bxf + (KX - 1)) | (dy > byf + (KY - 1)) | (dx < bxf) | (dy < byf)
+            (fy > KY - 1.0) | (fy < 0.0) | (fxr > R_MAX - 1.0) | (fxr < 0.0)
         )
         d = dc * dchunk + dd
 
@@ -186,21 +225,16 @@ def _sad_kernel(
 
         cov_ref[n, d] += jnp.sum(uncov.astype(jnp.float32))
 
-        fy = dy - byf
-        fx = dx - bxf
-        fys.append(fy)
-        fxs.append(fx)
-        neg = -jnp.float32(1e9)
         fy_max = jnp.max(jnp.where(hi, fy, neg))
-        fx_max = jnp.max(jnp.where(hi, fx, neg))
-        syhi = jnp.clip(jnp.floor(fy_max).astype(jnp.int32) + 2, 0, KY)
-        sxhi = jnp.clip(jnp.floor(fx_max).astype(jnp.int32) + 2, 0, KX)
-        any_hint = any_hint | jnp.any(hi)
-        sy_hi = jnp.maximum(sy_hi, syhi)
-        sx_hi = jnp.maximum(sx_hi, sxhi)
+        fxr_max = jnp.max(jnp.where(hi, fxr, neg))
+        sy_hi = jnp.maximum(
+            sy_hi, jnp.clip(jnp.floor(fy_max).astype(jnp.int32) + 2, 0, KY)
+        )
+        r_hi = jnp.maximum(
+            r_hi, jnp.clip(jnp.floor(fxr_max).astype(jnp.int32) + 2, 0, R_MAX)
+        )
 
-    # Assemble the 64 x 512 slab and align it to (y0h + by, x0h + bx) with
-    # exact one-hot permutation matmuls (shared by the whole chunk).
+    # --- row-aligned slab (shared by the whole chunk) ---------------------
     top = jnp.concatenate([band00_ref[0], band01_ref[0]], axis=2)
     bot = jnp.concatenate([band10_ref[0], band11_ref[0]], axis=2)
     slab = jnp.concatenate([top, bot], axis=1)  # (C, 64, 512)
@@ -211,45 +245,72 @@ def _sad_kernel(
     row_src = jax.lax.broadcasted_iota(jnp.int32, (2 * BAND_H, PY_N), 0)
     row_dst = jax.lax.broadcasted_iota(jnp.int32, (2 * BAND_H, PY_N), 1)
     py = (row_src == row_dst + off_y).astype(img_dtype)
-    lane_src = jax.lax.broadcasted_iota(jnp.int32, (2 * BAND_W, 256), 0)
-    lane_dst = jax.lax.broadcasted_iota(jnp.int32, (2 * BAND_W, 256), 1)
-    px = (lane_src == lane_dst + off_x).astype(img_dtype)
-
     mm_precision = (
         jax.lax.Precision.DEFAULT
         if img_dtype == jnp.bfloat16
         else jax.lax.Precision.HIGHEST
     )
-    slab = jax.lax.dot_general(
+    slab_y = jax.lax.dot_general(
         py, slab,
         dimension_numbers=(((0,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=mm_precision,
     )  # (PY_N, C, 512)
-    slab = jnp.moveaxis(slab, 0, 1)
-    slab = jax.lax.dot_general(
-        slab.astype(img_dtype), px,
-        dimension_numbers=(((2,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=mm_precision,
-    ).astype(img_dtype)  # (C, PY_N, 256)
+    slab_y = jnp.moveaxis(slab_y, 0, 1)  # (C, PY_N, 512)
+
+    # bf16 hi/lo split: one-hot selection of bf16 operands is exact at
+    # DEFAULT matmul precision, and hi + lo reconstructs the f32 value to
+    # ~1e-5 relative — 2 single-pass matmuls instead of one 6-pass HIGHEST.
+    slab_hi = slab_y.astype(jnp.bfloat16)
+    if img_dtype == jnp.bfloat16:
+        slab_lo = None  # values are exactly bf16 already
+    else:
+        slab_lo = (slab_y - slab_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    # Base index map for the sheared one-hots: src = dst + off_x + xsh[dst].
+    lane_src = jax.lax.broadcasted_iota(jnp.int32, (2 * BAND_W, 256), 0)
+    lane_dst = jax.lax.broadcasted_iota(jnp.int32, (2 * BAND_W, 256), 1)
+    xsh_full = jnp.pad(xsh, ((0, 0), (0, 256 - COLS_E)))
+    shear_base = lane_dst + off_x + xsh_full  # (512, 256) via broadcast
 
     acc_s[...] = jnp.zeros(acc_s.shape, jnp.float32)
     macc_s[...] = jnp.zeros(macc_s.shape, jnp.float32)
 
-    # --- shared banded bilinear tap loop ----------------------------------
-    # The loop bodies are BRANCH-FREE per tap: a tap outside a hypothesis'
-    # window contributes an exact zero through the clipped hat weight, so
-    # per-depth predication would only add scalar-core branches (hundreds
-    # per program under forward motion — measured to dominate the kernel).
-    # Only the dynamic trip counts (sy_hi / sx_hi from the actual spread)
-    # bound the executed taps.
+    # --- phase A: sheared slabs + x weights + x border interp -------------
+    for s in range(R_MAX):
+        sf = float(s)
+
+        @pl.when(any_hint & (s < r_hi))
+        def _(s=s, sf=sf):
+            pxs = (lane_src == shear_base + s).astype(jnp.bfloat16)
+            sl = jax.lax.dot_general(
+                slab_hi, pxs,
+                dimension_numbers=(((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            if slab_lo is not None:
+                sl = sl + jax.lax.dot_general(
+                    slab_lo, pxs,
+                    dimension_numbers=(((2,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            shear_s[s] = sl  # (C, PY_N, 256)
+
+            tx = cols + bxf + xshf + sf
+            ind_x = (
+                (tx >= border_radius) & (tx < width - border_radius)
+            ).astype(jnp.float32)
+            for dd in range(dchunk):
+                wx = jnp.clip(1.0 - jnp.abs(fxrs[dd] - sf), 0.0, 1.0)
+                wx_s[s, dd] = wx
+                macc_s[dd, 1] += wx * ind_x
+
+    # --- phase B: banded y taps over the sheared slabs --------------------
     for sy in range(KY):
         syf = float(sy)
 
         @pl.when(any_hint & (sy < sy_hi))
         def _(sy=sy, syf=syf):
-            band = slab[:, sy : sy + ROWS_E, :]
             ty = rows + byf + syf
             ind_y = (
                 (ty >= border_radius) & (ty < height - border_radius)
@@ -260,31 +321,13 @@ def _sad_kernel(
                 wys.append(wy)
                 macc_s[dd, 0] += wy * ind_y
 
-            def lane_tap(sx, band_r):
-                sxf = sx.astype(jnp.float32)
-                src = band_r[:, :, :COLS_E].astype(jnp.float32)
+            def sbody(s, _):
+                src = shear_s[s, :, sy : sy + ROWS_E, :COLS_E]
                 for dd in range(dchunk):
-                    wx = jnp.clip(1.0 - jnp.abs(fxs[dd] - sxf), 0.0, 1.0)
-                    acc_s[dd] += (wys[dd] * wx)[None] * src
-                return jnp.roll(band_r, -1, axis=2)
+                    acc_s[dd] += (wys[dd] * wx_s[s, dd])[None] * src
+                return 0
 
-            jax.lax.fori_loop(0, sx_hi, lane_tap, band)
-
-    # --- horizontal border-indicator interpolation (per depth) ------------
-    @pl.when(any_hint)
-    def _():
-        def mask_tap(sx, _):
-            sxf = sx.astype(jnp.float32)
-            tx = cols + bxf + sxf
-            ind_x = (
-                (tx >= border_radius) & (tx < width - border_radius)
-            ).astype(jnp.float32)
-            for dd in range(dchunk):
-                wx = jnp.clip(1.0 - jnp.abs(fxs[dd] - sxf), 0.0, 1.0)
-                macc_s[dd, 1] += wx * ind_x
-            return 0
-
-        jax.lax.fori_loop(0, sx_hi, mask_tap, 0)
+            jax.lax.fori_loop(0, r_hi, sbody, 0)
 
     # --- in-register SSIM + channel-weighted 3x3 SAD ----------------------
     # NOTE on borders: the reference reflect-pads the warped image for SSIM
@@ -370,7 +413,17 @@ def plane_sweep_sad(
     assert n == b * frames_per_image, (n, b, frames_per_image)
     assert len(channel_weights) == c
 
-    dchunk = 4 if d % 4 == 0 else (2 if d % 2 == 0 else 1)
+    # Depth hypotheses per program: the chunk shares one slab + one set of
+    # sheared one-hots, but the residual tap window must absorb the chunk's
+    # inter-depth drift, which scales with dchunk/(d-1) of the full sweep
+    # range — so small-D sweeps (coarse hypothesis spacing) use smaller
+    # chunks to keep the residual inside R_MAX.
+    if d % 4 == 0 and d >= 24:
+        dchunk = 4
+    elif d % 2 == 0 and d >= 12:
+        dchunk = 2
+    else:
+        dchunk = 1
 
     padded = jnp.pad(images, ((0, 0), (0, 0), (PAD_Y, PAD_Y), (PAD_X, PAD_X)))
     key_p = jnp.pad(
@@ -450,6 +503,8 @@ def plane_sweep_sad(
             pltpu.VMEM((2 * c, ROWS + 2, COLS + 2), jnp.float32),
             pltpu.VMEM((dchunk, c, ROWS_E, COLS_E), jnp.float32),
             pltpu.VMEM((dchunk, 2, ROWS_E, COLS_E), jnp.float32),
+            pltpu.VMEM((R_MAX, c, PY_N, 256), jnp.float32),
+            pltpu.VMEM((R_MAX, dchunk, ROWS_E, COLS_E), jnp.float32),
         ],
     )
 
