@@ -48,6 +48,7 @@ _DATALOADER_TO_DATASET = {
     "TUMMonoVODataloader": "TUMMonoVODataset",
     "TUMRGBDDataloader": "TUMRGBDDataset",
     "SyntheticSweepDataloader": "SyntheticSweepDataset",
+    "CachedDataloader": "CachedDataset",
 }
 
 

@@ -1,10 +1,12 @@
 from monorec_tpu.data.loader import DataLoader, DatasetWrapper
+from monorec_tpu.data.cache import CachedDataset, build_cache
 from monorec_tpu.data.kitti import KittiOdometryDataset
 from monorec_tpu.data.synthetic import SyntheticSweepDataset
 
 DATASETS = {
     "KittiOdometryDataset": KittiOdometryDataset,
     "SyntheticSweepDataset": SyntheticSweepDataset,
+    "CachedDataset": CachedDataset,
 }
 
 
@@ -28,5 +30,7 @@ __all__ = [
     "DatasetWrapper",
     "KittiOdometryDataset",
     "SyntheticSweepDataset",
+    "CachedDataset",
+    "build_cache",
     "DATASETS",
 ]

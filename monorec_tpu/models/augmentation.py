@@ -111,3 +111,125 @@ def apply_mask_aug_tree(tree, params: MaskAugParams):
         return x
 
     return jax.tree_util.tree_map(one, tree)
+
+
+# ----- on-device color jitter ------------------------------------------------
+# TPU-native replacement for the host-side per-sample color jitter
+# (monorec_tpu/data/color_jitter.py ≙ reference ColorJitterMulti,
+# kitti_odometry_dataset.py:377-383): the numpy hue rotation costs ~70 ms per
+# sample on one host core and capped the cached data pipeline at ~13
+# samples/s; as elementwise ops inside the jitted train step it is free.
+# Semantics match the numpy implementation (same op formulas, random op
+# order, one parameter set per sample shared by all of its frames).
+
+
+class ColorJitterBatch(NamedTuple):
+    brightness: Array  # (B,)
+    contrast: Array  # (B,)
+    saturation: Array  # (B,)
+    hue: Array  # (B,)
+    order: Array  # (B, 4) int32 permutation
+
+
+def sample_color_jitter_batch(
+    rng: jax.Array,
+    batch_size: int,
+    brightness: float = 0.2,
+    contrast: float = 0.2,
+    saturation: float = 0.2,
+    hue: float = 0.1,
+) -> ColorJitterBatch:
+    kb, kc, ks, kh, ko = jax.random.split(rng, 5)
+    u = lambda k, lo, hi: jax.random.uniform(
+        k, (batch_size,), minval=lo, maxval=hi
+    )
+    return ColorJitterBatch(
+        u(kb, max(0.0, 1 - brightness), 1 + brightness),
+        u(kc, max(0.0, 1 - contrast), 1 + contrast),
+        u(ks, max(0.0, 1 - saturation), 1 + saturation),
+        u(kh, -hue, hue),
+        jnp.argsort(jax.random.uniform(ko, (batch_size, 4)), axis=-1),
+    )
+
+
+_LUMA = (0.299, 0.587, 0.114)
+
+
+def _jitter_one(img: Array, b, c, s, h, order) -> Array:
+    """Jitter one (H, W, 3) image in [0, 1]; mirrors color_jitter.py."""
+    luma = jnp.asarray(_LUMA, img.dtype)
+
+    def brightness(x):
+        return jnp.clip(x * b, 0.0, 1.0)
+
+    def contrast(x):
+        m = jnp.mean(x @ luma)
+        return jnp.clip(m + (x - m) * c, 0.0, 1.0)
+
+    def saturation(x):
+        gray = (x @ luma)[..., None]
+        return jnp.clip(gray + (x - gray) * s, 0.0, 1.0)
+
+    def hue(x):
+        r, g, bl = x[..., 0], x[..., 1], x[..., 2]
+        maxc = jnp.max(x, axis=-1)
+        minc = jnp.min(x, axis=-1)
+        v = maxc
+        delta = maxc - minc
+        sat = jnp.where(maxc > 0, delta / jnp.maximum(maxc, 1e-12), 0.0)
+        safe = jnp.maximum(delta, 1e-12)
+        hh = jnp.where(
+            maxc == r, ((g - bl) / safe) % 6.0,
+            jnp.where(maxc == g, (bl - r) / safe + 2.0, (r - g) / safe + 4.0),
+        )
+        hh = jnp.where(delta == 0, 0.0, hh) / 6.0
+        hh = (hh + h) % 1.0
+        i = jnp.floor(hh * 6.0)
+        f = hh * 6.0 - i
+        p = v * (1 - sat)
+        q = v * (1 - sat * f)
+        t = v * (1 - sat * (1 - f))
+        i = i.astype(jnp.int32) % 6
+
+        def choose(opts):
+            out = opts[5]
+            for k in range(4, -1, -1):
+                out = jnp.where(i == k, opts[k], out)
+            return out
+
+        r2 = choose([v, q, p, p, t, v])
+        g2 = choose([t, v, v, q, p, p])
+        b2 = choose([p, p, t, v, v, q])
+        return jnp.stack([r2, g2, b2], axis=-1)
+
+    ops = [brightness, contrast, saturation, hue]
+    for step in range(4):
+        img = jax.lax.switch(order[step], ops, img)
+    return img
+
+
+def apply_color_jitter_batch(images: Array, params: ColorJitterBatch) -> Array:
+    """Jitter (B, H, W, 3) or (B, F, H, W, 3) images in [-0.5, 0.5]; each
+    sample's parameter set is shared across its frames."""
+
+    def per_sample(img, b, c, s, h, order):
+        if img.ndim == 4:  # (F, H, W, 3)
+            return jax.vmap(lambda f: _jitter_one(f, b, c, s, h, order))(img)
+        return _jitter_one(img, b, c, s, h, order)
+
+    out = jax.vmap(per_sample)(
+        images + 0.5, params.brightness, params.contrast, params.saturation,
+        params.hue, params.order,
+    )
+    return out - 0.5
+
+
+def jitter_image_keys(batch: dict, rng: jax.Array) -> dict:
+    """Apply one sampled jitter per batch element to every image key."""
+    b = batch["keyframe"].shape[0]
+    params = sample_color_jitter_batch(rng, b)
+    out = dict(batch)
+    for k in ("keyframe", "frames", "stereoframe"):
+        if k in out and out[k] is not None:
+            out[k] = apply_color_jitter_batch(out[k], params)
+    return out

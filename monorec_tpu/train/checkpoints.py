@@ -29,6 +29,7 @@ def save_checkpoint(
     epoch: int,
     monitor_best: float,
     keep_link: Optional[str] = None,
+    optimizer_type: Optional[str] = None,
 ) -> Path:
     """Save a checkpoint under ``ckpt_dir/name``; optionally copy to a link
     name (e.g. 'model_best')."""
@@ -37,11 +38,16 @@ def save_checkpoint(
     path = ckpt_dir / name
     if path.exists():
         shutil.rmtree(path)
+    meta = {"epoch": epoch, "monitor_best": float(monitor_best)}
+    if optimizer_type is not None:
+        # Resume restores opt_state only when the optimizer type matches
+        # (reference base/base_trainer.py:180-188).
+        meta["optimizer_type"] = optimizer_type
     payload = {
         "params": _to_host(state.params),
         "batch_stats": _to_host(state.batch_stats),
         "opt_state": _to_host(state.opt_state),
-        "meta": {"epoch": epoch, "monitor_best": float(monitor_best)},
+        "meta": meta,
     }
     with ocp.PyTreeCheckpointer() as ckptr:
         ckptr.save(path, payload)

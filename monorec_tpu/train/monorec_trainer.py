@@ -54,6 +54,10 @@ class MonoRecTrainer(Trainer):
     def _feed(self, params, batch_stats, batch: Dict, rng, train: bool, alpha):
         model: MonoRec = self.model
         cfg = model.config
+        if train and self.color_aug_on_device:
+            from monorec_tpu.models.augmentation import jitter_image_keys
+
+            batch = jitter_image_keys(batch, jax.random.fold_in(rng, 2))
         variables = {"params": params, "batch_stats": batch_stats}
         rngs = {"dropout": jax.random.fold_in(rng, 0)}
 

@@ -79,6 +79,10 @@ class Trainer:
         self.early_stop = tcfg.get("early_stop", math.inf)
         self.save_multiple = tcfg.get("save_multiple", False)
         self.invert_output_images = tcfg.get("invert_output_images", True)
+        # On-device color jitter (set the dataset's use_color_augmentation
+        # to false when enabling this — the jitter then runs inside the
+        # jitted train step instead of on the host loader thread).
+        self.color_aug_on_device = tcfg.get("color_aug_on_device", False)
         self.value_faders = {
             k: ValueFader(v[0], v[1]) for k, v in tcfg.get("value_faders", {}).items()
         }
@@ -113,7 +117,14 @@ class Trainer:
                 return jnp.zeros((0,))
             return jnp.stack([m(data, roi, max_distance) for m in metric_fns])
 
+        color_aug = self.color_aug_on_device
+
         def train_step(state: TrainState, batch: Dict, rng, alpha):
+            if color_aug:
+                from monorec_tpu.models.augmentation import jitter_image_keys
+
+                batch = jitter_image_keys(batch, jax.random.fold_in(rng, 2))
+
             def losses(params):
                 out = model.apply(
                     {"params": params, "batch_stats": state.batch_stats},

@@ -1,0 +1,86 @@
+"""Memory-mapped sample cache: roundtrip fidelity + re-jitter stochasticity
+(the >50 kf/s data-pipeline path, SURVEY §7 hard part 6)."""
+
+import time
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from monorec_tpu.data import CachedDataset, KittiOdometryDataset, build_cache
+from monorec_tpu.data.loader import DataLoader
+
+FIXTURE = Path("/root/reference/example/data/kitti")
+
+
+@pytest.fixture(scope="module")
+def cache_dir(tmp_path_factory):
+    if not FIXTURE.exists():
+        pytest.skip("KITTI fixture not available")
+    ds = KittiOdometryDataset(
+        str(FIXTURE), sequences=["07"], target_image_size=(256, 512),
+        frame_count=2, depth_folder="image_depth_annotated", lidar_depth=True,
+        dso_depth=False, use_dso_poses=True, custom_length=1000,
+        use_color_augmentation=False,
+    )
+    # The fixture only ships frames 000168-000170, so index 164 (image
+    # 000169) is the only index whose neighbors exist; duplicate it.
+    wrapped = [ds[164], ds[164]]
+
+    class Two:
+        def __len__(self):
+            return 2
+
+        def __getitem__(self, i):
+            return wrapped[i]
+
+    return build_cache(Two(), tmp_path_factory.mktemp("cache"), log_every=0), ds
+
+
+def test_cache_roundtrip_fidelity(cache_dir):
+    out, ds = cache_dir
+    cached = CachedDataset(str(out))
+    raw = ds[164]
+    got = cached[1]
+    assert set(got) == set(raw)
+    for k in raw:
+        if k in ("keyframe", "frames", "stereoframe"):
+            # uint8 quantization of [0,1] values: within half an LSB.
+            np.testing.assert_allclose(
+                got[k], np.asarray(raw[k]), atol=0.5 / 255 + 1e-6, err_msg=k
+            )
+        else:
+            np.testing.assert_array_equal(got[k], np.asarray(raw[k]), err_msg=k)
+
+
+def test_cache_jitter_is_stochastic_and_shared_across_frames(cache_dir):
+    out, _ = cache_dir
+    cached = CachedDataset(str(out), color_augmentation=True, seed=1)
+    a = cached[0]
+    b = cached[0]
+    assert not np.allclose(a["keyframe"], b["keyframe"])  # re-sampled per read
+    # The same jitter applies to keyframe and frames of one sample: jittering
+    # the clean keyframe with the frames' implied transform must not diverge
+    # wildly — check brightness ratio consistency instead of exact equality.
+    clean = CachedDataset(str(out))[0]
+    ratio_kf = (a["keyframe"] + 0.5).mean() / (clean["keyframe"] + 0.5).mean()
+    ratio_fr = (a["frames"] + 0.5).mean() / (clean["frames"] + 0.5).mean()
+    assert abs(ratio_kf - ratio_fr) < 0.05
+
+
+def test_cached_loader_throughput(cache_dir):
+    """Loader over the cache must beat 50 samples/s/worker-thread by a wide
+    margin (it's pure memcpy + scale)."""
+    out, _ = cache_dir
+    cached = CachedDataset(str(out))
+    loader = DataLoader(cached, batch_size=2, shuffle=False, num_workers=1,
+                        device_put=False, drop_last=False)
+    next(iter(loader))  # warm the page cache
+    t0 = time.perf_counter()
+    n = 0
+    for _ in range(20):
+        for batch in loader:
+            n += batch["keyframe"].shape[0]
+    dt = time.perf_counter() - t0
+    rate = n / dt
+    assert rate > 50, f"cached pipeline too slow: {rate:.1f} samples/s"

@@ -94,6 +94,36 @@ def test_checkpoint_roundtrip(stage1_setup, tmp_path):
     assert np.all(np.asarray(leaf_enc) == 0)
 
 
+def test_resume_optimizer_type_guard(stage1_setup, tmp_path):
+    """Resume restores optimizer state only if the optimizer type matches
+    (reference base/base_trainer.py:180-188): a checkpoint saved with Adam
+    resumed under an SGD config warns and proceeds with params only."""
+    from monorec_tpu.train.checkpoints import save_checkpoint
+
+    trainer = stage1_setup
+    save_checkpoint(
+        tmp_path, "ckpt", trainer.state, 5, 0.5, optimizer_type="Adam"
+    )
+
+    old_type, old_state = trainer.optimizer_type, trainer.state
+    sgd = make_optimizer({"type": "SGD", "args": {"lr": 1e-3}})
+    try:
+        trainer.optimizer_type = "SGD"
+        trainer.state = trainer.state.replace(
+            tx=sgd, opt_state=sgd.init(trainer.state.params)
+        )
+        sgd_opt_before = trainer.state.opt_state
+        trainer.resume(str(tmp_path / "ckpt"))
+        assert trainer.start_epoch == 6
+        # The Adam opt_state must NOT have been forced onto the SGD state.
+        assert jax.tree_util.tree_structure(
+            trainer.state.opt_state
+        ) == jax.tree_util.tree_structure(sgd_opt_before)
+    finally:
+        trainer.optimizer_type, trainer.state = old_type, old_state
+        trainer.start_epoch = 1
+
+
 def test_dryrun_multichip_full_stage4():
     import sys
 
