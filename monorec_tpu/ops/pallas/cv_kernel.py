@@ -131,6 +131,7 @@ def _sad_kernel(
     frames_per_image: int,
     use_ssim: int,
     channel_weights: Tuple[float, ...],
+    interpret: bool,
 ):
     n = pl.program_id(0)
     rb = pl.program_id(1)
@@ -242,16 +243,21 @@ def _sad_kernel(
     off_y = (y0h + by + PAD_Y) - ry * BAND_H
     off_x = (x0h + bx + PAD_X) - lx * BAND_W
 
+    # The XLA:CPU interpreter cannot execute bf16 x bf16 dots; one-hot
+    # selection is exact in either dtype, so interpret mode upcasts the
+    # operands to f32 (bit-identical result to the TPU bf16 matmul).
+    mm_dtype = jnp.float32 if (interpret and img_dtype == jnp.bfloat16) else img_dtype
+
     row_src = jax.lax.broadcasted_iota(jnp.int32, (2 * BAND_H, PY_N), 0)
     row_dst = jax.lax.broadcasted_iota(jnp.int32, (2 * BAND_H, PY_N), 1)
-    py = (row_src == row_dst + off_y).astype(img_dtype)
+    py = (row_src == row_dst + off_y).astype(mm_dtype)
     mm_precision = (
         jax.lax.Precision.DEFAULT
         if img_dtype == jnp.bfloat16
         else jax.lax.Precision.HIGHEST
     )
     slab_y = jax.lax.dot_general(
-        py, slab,
+        py, slab.astype(mm_dtype),
         dimension_numbers=(((0,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=mm_precision,
@@ -261,11 +267,14 @@ def _sad_kernel(
     # bf16 hi/lo split: one-hot selection of bf16 operands is exact at
     # DEFAULT matmul precision, and hi + lo reconstructs the f32 value to
     # ~1e-5 relative — 2 single-pass matmuls instead of one 6-pass HIGHEST.
-    slab_hi = slab_y.astype(jnp.bfloat16)
+    shear_dtype = jnp.float32 if interpret else jnp.bfloat16
+    slab_hi = slab_y.astype(jnp.bfloat16).astype(shear_dtype)
     if img_dtype == jnp.bfloat16:
         slab_lo = None  # values are exactly bf16 already
     else:
-        slab_lo = (slab_y - slab_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        slab_lo = (slab_y - slab_hi.astype(jnp.float32)).astype(
+            jnp.bfloat16
+        ).astype(shear_dtype)
 
     # Base index map for the sheared one-hots: src = dst + off_x + xsh[dst].
     lane_src = jax.lax.broadcasted_iota(jnp.int32, (2 * BAND_W, 256), 0)
@@ -282,7 +291,7 @@ def _sad_kernel(
 
         @pl.when(any_hint & (s < r_hi))
         def _(s=s, sf=sf):
-            pxs = (lane_src == shear_base + s).astype(jnp.bfloat16)
+            pxs = (lane_src == shear_base + s).astype(shear_dtype)
             sl = jax.lax.dot_general(
                 slab_hi, pxs,
                 dimension_numbers=(((2,), (0,)), ((), ())),
@@ -471,6 +480,7 @@ def plane_sweep_sad(
         frames_per_image=frames_per_image,
         use_ssim=use_ssim,
         channel_weights=channel_weights,
+        interpret=interpret,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(

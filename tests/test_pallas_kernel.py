@@ -114,6 +114,24 @@ def test_fused_sad_kernel_matches_xla_path(use_ssim):
     assert np.all(np.asarray(cov) == 0.0)
 
 
+def test_fused_sad_kernel_bf16_within_budget():
+    """The bf16 serving path (source images quantized to bf16 in-kernel)
+    must stay within its documented 5e-3 CV error budget vs the exact f32
+    XLA path (measured ~1.6e-3 on chip; golden-sample abs_rel drift 3e-6
+    relative)."""
+    args = _cv_args()
+    fx, sx = compute_cost_volume(
+        *args, CostVolumeConfig(depth_steps=4), backend="xla"
+    )
+    fp, sp, cov = compute_cost_volume(
+        *args, CostVolumeConfig(depth_steps=4, warp_dtype="bfloat16"),
+        backend="pallas", interpret=True, return_coverage=True,
+    )
+    np.testing.assert_allclose(np.asarray(fx), np.asarray(fp), atol=5e-3)
+    np.testing.assert_allclose(np.asarray(sx), np.asarray(sp), atol=5e-3)
+    assert np.all(np.asarray(cov) == 0.0)
+
+
 def test_coverage_counter_fires_on_extreme_motion():
     """A pathological pose (large rotation + 30 m sideways translation) must
     be reported by the coverage counter instead of silently corrupting the
