@@ -33,9 +33,11 @@ class TrainState:
 def make_schedule(
     lr: float, scheduler_cfg: Optional[Dict], steps_per_epoch: int
 ) -> optax.Schedule:
-    """Map reference lr_scheduler configs to optax schedules.
-
-    ``StepLR(step_size, gamma)`` -> piecewise exponential per epoch.
+    """Map reference (torch.optim.lr_scheduler-style) configs to optax
+    schedules; the reference resolves these by reflection
+    (``utils/parse_config.py:72-89``), so the whole commonly-used surface
+    maps here. Epoch-granular torch schedulers become per-step schedules
+    with epoch-sized staircase transitions.
     """
     if not scheduler_cfg:
         return optax.constant_schedule(lr)
@@ -57,7 +59,48 @@ def make_schedule(
             decay_rate=args.get("gamma", 0.95),
             staircase=True,
         )
-    raise ValueError(f"unsupported lr scheduler '{kind}'")
+    if kind == "MultiStepLR":
+        gamma = args.get("gamma", 0.1)
+        milestones = sorted(args.get("milestones", []))
+        return optax.piecewise_constant_schedule(
+            init_value=lr,
+            boundaries_and_scales={
+                int(m) * steps_per_epoch: gamma for m in milestones
+            },
+        )
+    if kind == "CosineAnnealingLR":
+        t_max = args.get("T_max", 50)
+        eta_min = args.get("eta_min", 0.0)
+        return optax.cosine_decay_schedule(
+            init_value=lr,
+            decay_steps=int(t_max) * steps_per_epoch,
+            alpha=eta_min / lr if lr else 0.0,
+        )
+    if kind == "LinearLR":
+        start = args.get("start_factor", 1.0 / 3.0)
+        end = args.get("end_factor", 1.0)
+        total = args.get("total_iters", 5)
+        return optax.linear_schedule(
+            init_value=lr * start,
+            end_value=lr * end,
+            transition_steps=int(total) * steps_per_epoch,
+        )
+    if kind == "ConstantLR":
+        return optax.constant_schedule(lr)
+    if kind == "OneCycleLR":
+        total = args.get("total_steps", steps_per_epoch * 10)
+        return optax.cosine_onecycle_schedule(
+            transition_steps=int(total),
+            peak_value=args.get("max_lr", lr),
+            pct_start=args.get("pct_start", 0.3),
+            div_factor=args.get("div_factor", 25.0),
+            final_div_factor=args.get("final_div_factor", 1e4),
+        )
+    raise ValueError(
+        f"unsupported lr scheduler '{kind}' (supported: StepLR, "
+        "ExponentialLR, MultiStepLR, CosineAnnealingLR, LinearLR, "
+        "ConstantLR, OneCycleLR)"
+    )
 
 
 def make_optimizer(
@@ -65,27 +108,76 @@ def make_optimizer(
     scheduler_cfg: Optional[Dict] = None,
     steps_per_epoch: int = 1000,
 ) -> optax.GradientTransformation:
+    """Map reference (torch.optim-style) optimizer configs to optax.
+
+    The reference instantiates ``getattr(torch.optim, type)(**args)`` by
+    reflection; this maps the same names/args onto optax transforms.
+    """
     cfg = optimizer_cfg or {"type": "Adam", "args": {"lr": 1e-4}}
     kind = cfg.get("type", "Adam")
     args = dict(cfg.get("args", {}))
     lr = args.pop("lr", 1e-4)
     schedule = make_schedule(lr, scheduler_cfg, steps_per_epoch)
+    weight_decay = args.pop("weight_decay", 0.0)
 
-    if kind == "Adam":
-        amsgrad = args.pop("amsgrad", False)
-        weight_decay = args.pop("weight_decay", 0.0)
+    def _betas():
         betas = args.pop("betas", (0.9, 0.999))
-        eps = args.pop("eps", 1e-8)
-        if amsgrad:
-            opt = optax.amsgrad(schedule, b1=betas[0], b2=betas[1], eps=eps)
+        return betas[0], betas[1], args.pop("eps", 1e-8)
+
+    if kind in ("Adam", "AdamW"):
+        amsgrad = args.pop("amsgrad", False)
+        b1, b2, eps = _betas()
+        if kind == "AdamW":
+            opt = optax.adamw(
+                schedule, b1=b1, b2=b2, eps=eps,
+                weight_decay=weight_decay if weight_decay else 0.01,
+            )
+            weight_decay = 0.0
+        elif amsgrad:
+            opt = optax.amsgrad(schedule, b1=b1, b2=b2, eps=eps)
         else:
-            opt = optax.adam(schedule, b1=betas[0], b2=betas[1], eps=eps)
-        if weight_decay:
-            opt = optax.chain(optax.add_decayed_weights(weight_decay), opt)
-        return opt
-    if kind == "SGD":
-        return optax.sgd(schedule, momentum=args.pop("momentum", 0.0))
-    raise ValueError(f"unsupported optimizer '{kind}'")
+            opt = optax.adam(schedule, b1=b1, b2=b2, eps=eps)
+    elif kind == "SGD":
+        opt = optax.sgd(
+            schedule,
+            momentum=args.pop("momentum", 0.0) or None,
+            nesterov=args.pop("nesterov", False),
+        )
+    elif kind == "RMSprop":
+        opt = optax.rmsprop(
+            schedule,
+            decay=args.pop("alpha", 0.99),
+            eps=args.pop("eps", 1e-8),
+            momentum=args.pop("momentum", 0.0),
+            centered=args.pop("centered", False),
+        )
+    elif kind == "Adagrad":
+        opt = optax.adagrad(
+            schedule,
+            initial_accumulator_value=args.pop("initial_accumulator_value", 0.0),
+            eps=args.pop("eps", 1e-10),
+        )
+    elif kind == "Adadelta":
+        opt = optax.adadelta(
+            schedule, rho=args.pop("rho", 0.9), eps=args.pop("eps", 1e-6)
+        )
+    elif kind == "Adamax":
+        b1, b2, eps = _betas()
+        opt = optax.adamax(schedule, b1=b1, b2=b2, eps=eps)
+    elif kind == "RAdam":
+        b1, b2, eps = _betas()
+        opt = optax.radam(schedule, b1=b1, b2=b2, eps=eps)
+    elif kind == "NAdam":
+        b1, b2, eps = _betas()
+        opt = optax.nadam(schedule, b1=b1, b2=b2, eps=eps)
+    else:
+        raise ValueError(
+            f"unsupported optimizer '{kind}' (supported: Adam, AdamW, SGD, "
+            "RMSprop, Adagrad, Adadelta, Adamax, RAdam, NAdam)"
+        )
+    if weight_decay:
+        opt = optax.chain(optax.add_decayed_weights(weight_decay), opt)
+    return opt
 
 
 def create_train_state(

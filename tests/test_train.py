@@ -8,6 +8,7 @@ import numpy as np
 import pytest
 
 import jax
+import jax.numpy as jnp
 
 from monorec_tpu.data import DataLoader, SyntheticSweepDataset
 from monorec_tpu.losses import depth_loss
@@ -122,6 +123,74 @@ def test_resume_optimizer_type_guard(stage1_setup, tmp_path):
     finally:
         trainer.optimizer_type, trainer.state = old_type, old_state
         trainer.start_epoch = 1
+
+
+@pytest.mark.parametrize(
+    "opt_cfg",
+    [
+        {"type": "Adam", "args": {"lr": 1e-3, "amsgrad": True}},
+        {"type": "AdamW", "args": {"lr": 1e-3, "weight_decay": 0.02}},
+        {"type": "SGD", "args": {"lr": 1e-2, "momentum": 0.9, "nesterov": True}},
+        {"type": "RMSprop", "args": {"lr": 1e-3, "alpha": 0.95}},
+        {"type": "Adagrad", "args": {"lr": 1e-2}},
+        {"type": "Adadelta", "args": {"lr": 1.0}},
+        {"type": "Adamax", "args": {"lr": 1e-3}},
+        {"type": "RAdam", "args": {"lr": 1e-3}},
+        {"type": "NAdam", "args": {"lr": 1e-3}},
+        {"type": "Adam", "args": {"lr": 1e-3, "weight_decay": 0.01}},
+    ],
+)
+def test_optimizer_reflection_surface(opt_cfg):
+    """Every torch.optim name the reference's reflection factory could
+    produce (utils/parse_config.py:72-89) maps to a working optax
+    transform that changes the params."""
+    tx = make_optimizer(opt_cfg)
+    params = {"w": jnp.ones((4, 4)), "b": jnp.zeros((4,))}
+    opt_state = tx.init(params)
+    grads = {"w": jnp.full((4, 4), 0.5), "b": jnp.full((4,), 0.5)}
+    updates, _ = tx.update(grads, opt_state, params)
+    new = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+    assert not np.allclose(np.asarray(new["w"]), np.asarray(params["w"]))
+    assert np.all(np.isfinite(np.asarray(new["w"])))
+
+
+@pytest.mark.parametrize(
+    "sched_cfg,at,expect",
+    [
+        ({"type": "StepLR", "args": {"step_size": 2, "gamma": 0.1}}, 25, 1e-5),
+        ({"type": "ExponentialLR", "args": {"gamma": 0.5}}, 15, 5e-5),
+        (
+            {"type": "MultiStepLR", "args": {"milestones": [1, 3], "gamma": 0.1}},
+            25, 1e-5,  # only the epoch-1 milestone (step 10) has passed
+        ),
+        (
+            {"type": "MultiStepLR", "args": {"milestones": [1, 3], "gamma": 0.1}},
+            35, 1e-6,  # both milestones passed
+        ),
+        ({"type": "ConstantLR", "args": {}}, 25, 1e-4),
+        ({"type": "LinearLR", "args": {"start_factor": 0.5, "total_iters": 1}},
+         10, 1e-4),
+    ],
+)
+def test_scheduler_reflection_surface(sched_cfg, at, expect):
+    """torch lr_scheduler configs map to per-step optax schedules with
+    epoch-granular transitions (steps_per_epoch=10 here)."""
+    from monorec_tpu.train.state import make_schedule
+
+    sched = make_schedule(1e-4, sched_cfg, steps_per_epoch=10)
+    np.testing.assert_allclose(float(sched(at)), expect, rtol=1e-5)
+
+
+def test_cosine_schedule_reaches_eta_min():
+    from monorec_tpu.train.state import make_schedule
+
+    sched = make_schedule(
+        1e-3,
+        {"type": "CosineAnnealingLR", "args": {"T_max": 4, "eta_min": 1e-5}},
+        steps_per_epoch=10,
+    )
+    np.testing.assert_allclose(float(sched(0)), 1e-3, rtol=1e-5)
+    np.testing.assert_allclose(float(sched(40)), 1e-5, rtol=1e-4)
 
 
 def test_dryrun_multichip_full_stage4():
