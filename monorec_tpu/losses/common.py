@@ -64,26 +64,37 @@ def _warp_by_depth(
     keyframe_intrinsics: Array,
     add: float,
 ) -> Array:
-    """Warp each source frame (+add offset) onto the keyframe. (B,F,H,W,C)."""
+    """Warp each source frame (+add offset) onto the keyframe. (B,F,H,W,C).
+
+    The grids for all (sample, frame) pairs are computed with vmapped
+    geometry, then sampled in ONE batched call so the TPU path runs a
+    single Pallas banded-warp kernel over the (B*F) stack (backend="auto"
+    in ``grid_sample_nhwc``) instead of per-frame serial gathers.
+    """
     b, f, h, w, c = frames.shape
 
-    def per_sample(depth_s, frames_s, poses_s, intr_s, kpose, kintr):
+    def grids_one(depth_s, poses_s, kpose, kintr, intr_s):
         inv_k = geometry.invert_intrinsics(kintr)
         pts = geometry.backproject(depth_s[None], inv_k, h, w)  # (1,4,HW)
 
-        def per_frame(frame, pose, k):
+        def per_frame(pose, k):
             rel = jnp.matmul(
                 geometry.invert_pose(pose), kpose,
                 precision=jax.lax.Precision.HIGHEST,
             )
-            grid = geometry.project(pts, k, rel, h, w)[0]
-            return grid_sample_nhwc((frame + add)[None], grid[None])[0]
+            return geometry.project(pts, k, rel, h, w)[0]  # (H, W, 2)
 
-        return jax.vmap(per_frame)(frames_s, poses_s, intr_s)
+        return jax.vmap(per_frame)(poses_s, intr_s)
 
-    return jax.vmap(per_sample)(
-        depth, frames, poses, intrinsics, keyframe_pose, keyframe_intrinsics
+    grids = jax.vmap(grids_one)(
+        depth, poses, keyframe_pose, keyframe_intrinsics, intrinsics
+    )  # (B, F, H, W, 2)
+    warped = grid_sample_nhwc(
+        (frames + add).reshape(b * f, h, w, c),
+        grids.reshape(b * f, h, w, 2),
+        backend="auto",
     )
+    return warped.reshape(b, f, h, w, c)
 
 
 def reprojection_loss(

@@ -13,6 +13,8 @@ where S is the extent along that axis. Out-of-bounds taps contribute zero.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -65,6 +67,60 @@ def bilinear_sample(image: Array, grid: Array) -> Array:
     return out
 
 
-def grid_sample_nhwc(images: Array, grids: Array) -> Array:
-    """Batched sampler: images (N, H, W, C), grids (N, Ho, Wo, 2) -> (N, Ho, Wo, C)."""
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _grid_sample_tpu(interpret: bool, images: Array, xs: Array, ys: Array):
+    """Pallas grid sampler with an analytic coordinate VJP.
+
+    The warped values' gradient w.r.t. the source images is never needed
+    (the losses warp *data* frames), so the backward pass is a second
+    gather-free banded kernel computing only the coordinate gradient —
+    no scatter anywhere.
+    """
+    from monorec_tpu.ops.pallas.grid_warp import grid_warp
+
+    return grid_warp(images, xs, ys, interpret=interpret)[0]
+
+
+def _grid_sample_tpu_fwd(interpret, images, xs, ys):
+    return _grid_sample_tpu(interpret, images, xs, ys), (images, xs, ys)
+
+
+def _grid_sample_tpu_bwd(interpret, res, cot):
+    from monorec_tpu.ops.pallas.grid_warp import grid_warp_grad
+
+    images, xs, ys = res
+    gx, gy = grid_warp_grad(images, xs, ys, cot, interpret=interpret)
+    return jnp.zeros_like(images), gx, gy
+
+
+_grid_sample_tpu.defvjp(_grid_sample_tpu_fwd, _grid_sample_tpu_bwd)
+
+
+def grid_sample_nhwc(
+    images: Array, grids: Array, backend: str = "xla", interpret: bool = False
+) -> Array:
+    """Batched sampler: images (N, H, W, C), grids (N, Ho, Wo, 2) -> (N, Ho, Wo, C).
+
+    backend="auto" picks the Pallas banded-warp kernel on TPU when shapes
+    allow (same-size sampling, H % 16 == 0, W % 128 == 0) — XLA lowers the
+    gather formulation to serial loops (~4.3 ms per 256x512x3 warp), the
+    kernel to permutation matmuls (~0.4 ms). "xla" keeps the exact gather
+    path (required for per-pixel-depth cost volumes and tiny test shapes).
+    """
+    n, h, w, c = images.shape
+    if backend == "auto":
+        on_tpu = jax.default_backend() not in ("cpu", "gpu") or interpret
+        ok = (
+            grids.shape == (n, h, w, 2)
+            and h % 16 == 0
+            and w % 128 == 0
+        )
+        backend = "tpu" if (on_tpu and ok) else "xla"
+    if backend == "tpu":
+        x = jnp.clip(_unnormalize(grids[..., 0], w), -3.0, w + 2.0)
+        y = jnp.clip(_unnormalize(grids[..., 1], h), -3.0, h + 2.0)
+        imgs = jnp.moveaxis(images, -1, 1).astype(jnp.float32)
+        out = _grid_sample_tpu(interpret, imgs, x.astype(jnp.float32),
+                               y.astype(jnp.float32))
+        return jnp.moveaxis(out, 1, -1).astype(images.dtype)
     return jax.vmap(bilinear_sample)(images, grids)

@@ -78,6 +78,45 @@ def parity(b=2, f=2, h=64, w=128, d_steps=8, warp_dtype="float32", tol=1e-3):
     return ok
 
 
+def grid_warp_parity(n=4, h=256, w=512, seed=3):
+    """Compiled parity + coordinate-grad parity of the general grid-sample
+    kernel (the reprojection-loss warp path) vs the XLA gather path."""
+    from monorec_tpu.ops.sampling import grid_sample_nhwc
+
+    rng = np.random.default_rng(seed)
+    imgs = jnp.asarray(rng.uniform(-0.5, 0.5, (n, h, w, 3)).astype(np.float32))
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
+    dx = 20.0 * (xs / w - 0.5) + 2.0 * np.sin(ys / 9.0) + 0.3
+    dy = 3.0 * np.cos(xs / 13.0) + 0.2
+    gx = (2.0 * (xs + dx) + 1.0) / w - 1.0
+    gy = (2.0 * (ys + dy) + 1.0) / h - 1.0
+    grids = jnp.asarray(
+        np.tile(np.stack([gx, gy], -1)[None], (n, 1, 1, 1))
+    )
+    cot = jnp.asarray(rng.uniform(-1, 1, (n, h, w, 3)).astype(np.float32))
+
+    def loss(g, backend):
+        return jnp.sum(grid_sample_nhwc(imgs, g, backend=backend) * cot)
+
+    ref = jax.jit(lambda g: grid_sample_nhwc(imgs, g, backend="xla"))(grids)
+    got = jax.jit(lambda g: grid_sample_nhwc(imgs, g, backend="tpu"))(grids)
+    g_ref = jax.jit(jax.grad(lambda g: loss(g, "xla")))(grids)
+    g_got = jax.jit(jax.grad(lambda g: loss(g, "tpu")))(grids)
+    ok = True
+    d = np.abs(np.asarray(got) - np.asarray(ref)).max()
+    gd = np.abs(np.asarray(g_got) - np.asarray(g_ref)).max()
+    g_scale = np.abs(np.asarray(g_ref)).max()
+    print(
+        f"grid_warp {h}x{w} fwd max|diff| {d:.2e}, grad max|diff| {gd:.2e} "
+        f"(scale {g_scale:.1f})"
+    )
+    # The gradient contracts the cotangent over channels, so its scale is
+    # tens; the hi/lo split's ~1e-4 relative error budgets accordingly.
+    ok &= d < 1e-3 and gd < 1e-3 + 1e-4 * g_scale
+    print("GRID WARP", "PASS" if ok else "FAIL")
+    return ok
+
+
 def perf():
     args = build(8, 2, 256, 512, 1)
     cfg = CostVolumeConfig(depth_steps=32)
@@ -106,5 +145,6 @@ if __name__ == "__main__":
     # bf16 serving path: source images quantized to bf16 in-kernel; the
     # CV error budget vs the exact f32 XLA path is 5e-3 (measured ~1.6e-3).
     ok &= parity(1, 2, 256, 512, 32, warp_dtype="bfloat16", tol=5e-3)
+    ok &= grid_warp_parity()
     perf()
     sys.exit(0 if ok else 1)
