@@ -96,7 +96,11 @@ def apply_mask_aug(x: Array, params: MaskAugParams) -> Array:
         ],
         axis=-1,
     )
-    return grid_sample_nhwc(x, grid)
+    # backend="auto": the resized-crop inputs are data (images, masks) or
+    # stop_gradient'd cost volumes, so the grid-warp kernel's
+    # zero-image-gradient VJP is exact here; on TPU this avoids an XLA
+    # serial gather per augmented tensor in the stage-2/3 train steps.
+    return grid_sample_nhwc(x, grid, backend="auto")
 
 
 def apply_mask_aug_tree(tree, params: MaskAugParams):

@@ -119,8 +119,26 @@ def grid_sample_nhwc(
     if backend == "tpu":
         x = jnp.clip(_unnormalize(grids[..., 0], w), -3.0, w + 2.0)
         y = jnp.clip(_unnormalize(grids[..., 1], h), -3.0, h + 2.0)
+        x = x.astype(jnp.float32)
+        y = y.astype(jnp.float32)
+        # The kernel's sheared-slab scratch scales with the channel count;
+        # wide tensors (e.g. D=32 cost volumes under augmentation) fold
+        # channel groups into the batch dimension instead.
+        cg = 4
+        if c > cg:
+            g = -(-c // cg)
+            pad_c = g * cg - c
+            imgs = jnp.pad(images, ((0, 0), (0, 0), (0, 0), (0, pad_c)))
+            imgs = imgs.reshape(n, h, w, g, cg)
+            imgs = jnp.moveaxis(imgs, 3, 1).reshape(n * g, h, w, cg)
+            imgs = jnp.moveaxis(imgs, -1, 1).astype(jnp.float32)
+            xg = jnp.repeat(x, g, axis=0)
+            yg = jnp.repeat(y, g, axis=0)
+            out = _grid_sample_tpu(interpret, imgs, xg, yg)
+            out = jnp.moveaxis(out, 1, -1).reshape(n, g, h, w, cg)
+            out = jnp.moveaxis(out, 1, 3).reshape(n, h, w, g * cg)
+            return out[..., :c].astype(images.dtype)
         imgs = jnp.moveaxis(images, -1, 1).astype(jnp.float32)
-        out = _grid_sample_tpu(interpret, imgs, x.astype(jnp.float32),
-                               y.astype(jnp.float32))
+        out = _grid_sample_tpu(interpret, imgs, x, y)
         return jnp.moveaxis(out, 1, -1).astype(images.dtype)
     return jax.vmap(bilinear_sample)(images, grids)

@@ -115,6 +115,43 @@ def test_grid_warp_gradient_at_integer_fractions():
     )
 
 
+def test_grid_warp_wide_channel_grouping():
+    """Wide tensors (D=32 cost volumes under mask augmentation) fold channel
+    groups into the batch dim — values must match the gather path exactly."""
+    rng = np.random.default_rng(8)
+    wide = jnp.asarray(rng.uniform(-1, 1, (N, H, W, 32)).astype(np.float32))
+    grids = _grids("smooth")
+    ref = grid_sample_nhwc(wide, grids, backend="xla")
+    got = grid_sample_nhwc(wide, grids, backend="tpu", interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
+
+
+def test_mask_aug_resized_crop_tpu_path_matches_xla():
+    """MaskAugmentation's resized-crop sampling agrees between backends
+    (it routes backend="auto"; forced here for the CPU suite)."""
+    import monorec_tpu.models.augmentation as aug
+    import monorec_tpu.ops.sampling as sampling
+
+    rng = np.random.default_rng(9)
+    imgs = jnp.asarray(rng.uniform(-0.5, 0.5, (N, H, W, 3)).astype(np.float32))
+    params = aug.sample_mask_aug_params(jax.random.PRNGKey(2), N, H, W)
+
+    ref = aug.apply_mask_aug(imgs, params)
+    orig = aug.grid_sample_nhwc
+
+    def forced(images, grids, backend="xla", interpret=False):
+        return sampling.grid_sample_nhwc(
+            images, grids, backend="tpu", interpret=True
+        )
+
+    aug.grid_sample_nhwc = forced
+    try:
+        got = aug.apply_mask_aug(imgs, params)
+    finally:
+        aug.grid_sample_nhwc = orig
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
+
+
 def test_grid_warp_image_cotangent_is_zero():
     """Image gradients are intentionally zero (frames are data): autodiff
     through the TPU path must not produce NaNs or nonzero image grads."""
