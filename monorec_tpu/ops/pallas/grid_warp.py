@@ -52,7 +52,13 @@ BAND_W = 256  # source band granularity (lanes)
 PAD_Y = 32  # top padding (the bottom pad grows to fill whole bands)
 KY = 16  # row tap window: within-block dy spread + bilinear margin
 PY_N = 32  # row-permutation rows (>= KY + ROWS - 1, multiple of 8)
-R_MAX = 32  # residual lane taps after the per-lane shear
+# Residual lane taps after the per-lane shear. The shear absorbs across-lane
+# (vertical-edge) disparity jumps; ACROSS-ROW jumps (horizontal depth edges)
+# land in the residual window, so R_MAX bounds the representable
+# within-column spread — pixels beyond it are zeroed + counted (the losses
+# treat them as invalid reprojections). The phase-A loop is gated by the
+# dynamic r_hi, so smooth blocks pay nothing for the larger static bound.
+R_MAX = 48
 XSH_MAX = (2 * BAND_W - 1) - (BAND_W - 1) - (COLS - 1) - (R_MAX - 1)
 
 assert (BAND_H - 1) + KY + ROWS - 1 <= 2 * BAND_H

@@ -176,9 +176,13 @@ def test_grid_warp_coverage_counter():
         rng.uniform(0.1, 0.9, (1, C, H, W)).astype(np.float32)
     )
     ys, xs = np.mgrid[0:H, 0:W].astype(np.float32)
-    # One column-aligned jump of 3*R_MAX px: per-lane shear cannot absorb a
-    # within-column spread, so the tap window is exceeded.
-    dx = np.where((ys > H // 2) & (ys <= H // 2 + 4), 3.0 * R_MAX + 0.4, 0.3)
+    # A within-column jump just past the residual window, kept IN-IMAGE
+    # (out-of-image pixels are legitimately zero and must not count): the
+    # per-lane shear cannot absorb an across-row spread, so these taps
+    # exceed the window and must be reported.
+    jump = R_MAX + 12.4
+    in_img = xs < W - (R_MAX + 14)
+    dx = np.where((ys > H // 2) & (ys <= H // 2 + 4) & in_img, jump, 0.3)
     x = jnp.asarray((xs + dx)[None])
     y = jnp.asarray((ys + 0.2)[None])
     _, cov = grid_warp(imgs, x, y, interpret=True)
