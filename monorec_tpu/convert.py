@@ -109,9 +109,27 @@ class Converter:
     def convert_resnet(self, tp: str = "_feature_extractor.encoder", fp: str = "encoder"):
         if f"{tp}.conv1.weight" not in self.sd:
             return
+        if f"{tp}.layer1.0.conv3.weight" in self.sd:
+            # Bottleneck nets (ResNet-50/101/152) have a third conv per
+            # block; converting only conv1/conv2 would silently drop
+            # weights — refuse instead of producing a broken subtree.
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "convert_resnet: bottleneck ResNet (conv3 present) is not "
+                "supported by the converter; skipping encoder conversion"
+            )
+            return
         self.conv(f"{tp}.conv1", (fp, "Conv_0"), bias=False)
         self.bn(f"{tp}.bn1", (fp, "_BN_0", "BatchNorm_0"))
-        counts = {"layer1": 2, "layer2": 2, "layer3": 2, "layer4": 2}
+        # Block counts detected from the state_dict itself so ResNet-18
+        # (2,2,2,2) and ResNet-34 (3,4,6,3) both convert completely.
+        counts = {}
+        for layer in ("layer1", "layer2", "layer3", "layer4"):
+            b = 0
+            while f"{tp}.{layer}.{b}.conv1.weight" in self.sd:
+                b += 1
+            counts[layer] = b
         for stage_i, (layer, count) in enumerate(counts.items()):
             for b in range(count):
                 tb = f"{tp}.{layer}.{b}"

@@ -23,6 +23,7 @@ Usage:
 from __future__ import annotations
 
 import json
+import threading
 from pathlib import Path
 from typing import Dict, Optional, Sequence
 
@@ -98,14 +99,19 @@ class CachedDataset:
         }
         self.use_color_augmentation = color_augmentation
         self._rng = np.random.default_rng(seed)
+        # DataLoader calls __getitem__ from a thread pool and
+        # np.random.Generator is not thread-safe — serialize draws.
+        self._rng_lock = threading.Lock()
 
     def __len__(self) -> int:
         return self.n
 
     def __getitem__(self, i: int) -> Dict[str, np.ndarray]:
-        jitter = (
-            sample_color_jitter(self._rng) if self.use_color_augmentation else None
-        )
+        if self.use_color_augmentation:
+            with self._rng_lock:
+                jitter = sample_color_jitter(self._rng)
+        else:
+            jitter = None
         out: Dict[str, np.ndarray] = {}
         for k, mm in self._mms.items():
             v = np.array(mm[i])  # materialize the row (memcpy)

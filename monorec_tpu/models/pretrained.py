@@ -92,6 +92,28 @@ def inject_imagenet_encoder(
     if not enc_params:
         logger.warning(f"{p} contained no convertible ResNet weights")
         return params, batch_stats, False
+
+    # The converted subtree must match the model's encoder structure
+    # exactly — replacing it with a partial/mismatched conversion (e.g. a
+    # resnet34 .pth under a resnet18 model) would raise an opaque
+    # ScopeError at the first apply. Refuse instead.
+    import jax
+
+    def _keys(tree):
+        return {
+            jax.tree_util.keystr(kp)
+            for kp, _ in jax.tree_util.tree_flatten_with_path(tree)[0]
+        }
+
+    want = _keys(params.get("encoder", {}))
+    got = _keys(enc_params)
+    if want != got:
+        logger.warning(
+            f"{p} converts to a different encoder structure than the model "
+            f"(e.g. wrong resnet_layers): {len(got - want)} unexpected / "
+            f"{len(want - got)} missing params; not injecting."
+        )
+        return params, batch_stats, False
     params = dict(params, encoder=enc_params)
     batch_stats = dict(batch_stats, encoder=enc_stats)
     logger.info(f"Injected ImageNet ResNet-{layers} encoder weights from {p}")

@@ -433,7 +433,7 @@ def compute_cost_volume(
         on_tpu = jax.default_backend() not in ("cpu", "gpu")
         kernel_ok = (
             cv_depths is None
-            and height % 8 == 0
+            and height % 16 == 0  # both kernels' row-block size
             and width % 128 == 0
         )
         backend = "pallas" if (on_tpu and kernel_ok) else "xla"

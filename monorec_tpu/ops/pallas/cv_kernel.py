@@ -48,6 +48,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from monorec_tpu.ops.pallas.slab import (
+    BAND_H,
+    BAND_W,
+    build_aligned_slab,
+    lane_iotas,
+    select_lanes,
+)
 from monorec_tpu.ops.pallas.warp_kernel import (
     _corner_displacement_bounds,
     _read_hom,
@@ -60,8 +67,7 @@ COLS = 128  # output cols per block
 HALO = 2  # SSIM (1) + SAD box (1)
 ROWS_E = ROWS + 2 * HALO  # warped rows computed per block
 COLS_E = COLS + 2 * HALO
-BAND_H = 32  # source band granularity (rows)
-BAND_W = 256  # source band granularity (lanes)
+# BAND_H / BAND_W come from slab.py (shared with grid_warp.py).
 PAD_Y = 160  # zero padding of the source image (multiple of BAND_H)
 PAD_X = 256
 KY = 14  # row tap window (union over the depth chunk; 14 covers the
@@ -139,7 +145,6 @@ def _sad_kernel(
     dc = pl.program_id(3)
 
     channels = band00_ref.shape[1]
-    img_dtype = band00_ref.dtype
 
     y0h = rb * ROWS - HALO  # halo'd block origin in image coords
     x0h = cb * COLS - HALO
@@ -235,50 +240,17 @@ def _sad_kernel(
             r_hi, jnp.clip(jnp.floor(fxr_max).astype(jnp.int32) + 2, 0, R_MAX)
         )
 
-    # --- row-aligned slab (shared by the whole chunk) ---------------------
-    top = jnp.concatenate([band00_ref[0], band01_ref[0]], axis=2)
-    bot = jnp.concatenate([band10_ref[0], band11_ref[0]], axis=2)
-    slab = jnp.concatenate([top, bot], axis=1)  # (C, 64, 512)
-
+    # --- row-aligned slab (shared by the whole chunk; machinery in
+    # slab.py, shared with grid_warp.py) -----------------------------------
     off_y = (y0h + by + PAD_Y) - ry * BAND_H
     off_x = (x0h + bx + PAD_X) - lx * BAND_W
-
-    # The XLA:CPU interpreter cannot execute bf16 x bf16 dots; one-hot
-    # selection is exact in either dtype, so interpret mode upcasts the
-    # operands to f32 (bit-identical result to the TPU bf16 matmul).
-    mm_dtype = jnp.float32 if (interpret and img_dtype == jnp.bfloat16) else img_dtype
-
-    row_src = jax.lax.broadcasted_iota(jnp.int32, (2 * BAND_H, PY_N), 0)
-    row_dst = jax.lax.broadcasted_iota(jnp.int32, (2 * BAND_H, PY_N), 1)
-    py = (row_src == row_dst + off_y).astype(mm_dtype)
-    mm_precision = (
-        jax.lax.Precision.DEFAULT
-        if img_dtype == jnp.bfloat16
-        else jax.lax.Precision.HIGHEST
+    slab_hi, slab_lo, shear_dtype = build_aligned_slab(
+        band00_ref[0], band01_ref[0], band10_ref[0], band11_ref[0],
+        off_y, PY_N, interpret,
     )
-    slab_y = jax.lax.dot_general(
-        py, slab.astype(mm_dtype),
-        dimension_numbers=(((0,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=mm_precision,
-    )  # (PY_N, C, 512)
-    slab_y = jnp.moveaxis(slab_y, 0, 1)  # (C, PY_N, 512)
-
-    # bf16 hi/lo split: one-hot selection of bf16 operands is exact at
-    # DEFAULT matmul precision, and hi + lo reconstructs the f32 value to
-    # ~1e-5 relative — 2 single-pass matmuls instead of one 6-pass HIGHEST.
-    shear_dtype = jnp.float32 if interpret else jnp.bfloat16
-    slab_hi = slab_y.astype(jnp.bfloat16).astype(shear_dtype)
-    if img_dtype == jnp.bfloat16:
-        slab_lo = None  # values are exactly bf16 already
-    else:
-        slab_lo = (slab_y - slab_hi.astype(jnp.float32)).astype(
-            jnp.bfloat16
-        ).astype(shear_dtype)
 
     # Base index map for the sheared one-hots: src = dst + off_x + xsh[dst].
-    lane_src = jax.lax.broadcasted_iota(jnp.int32, (2 * BAND_W, 256), 0)
-    lane_dst = jax.lax.broadcasted_iota(jnp.int32, (2 * BAND_W, 256), 1)
+    lane_src, lane_dst = lane_iotas(256)
     xsh_full = jnp.pad(xsh, ((0, 0), (0, 256 - COLS_E)))
     shear_base = lane_dst + off_x + xsh_full  # (512, 256) via broadcast
 
@@ -291,19 +263,9 @@ def _sad_kernel(
 
         @pl.when(any_hint & (s < r_hi))
         def _(s=s, sf=sf):
-            pxs = (lane_src == shear_base + s).astype(shear_dtype)
-            sl = jax.lax.dot_general(
-                slab_hi, pxs,
-                dimension_numbers=(((2,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            if slab_lo is not None:
-                sl = sl + jax.lax.dot_general(
-                    slab_lo, pxs,
-                    dimension_numbers=(((2,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-            shear_s[s] = sl  # (C, PY_N, 256)
+            shear_s[s] = select_lanes(
+                slab_hi, slab_lo, lane_src, shear_base, s, shear_dtype
+            )  # (C, PY_N, 256)
 
             tx = cols + bxf + xshf + sf
             ind_x = (

@@ -43,12 +43,18 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from monorec_tpu.ops.pallas.slab import (
+    BAND_H,
+    BAND_W,
+    build_aligned_slab,
+    lane_iotas,
+    select_lanes,
+)
+
 Array = jax.Array
 
 ROWS = 16  # output rows per program
 COLS = 128  # output cols per program
-BAND_H = 32  # source band granularity (rows)
-BAND_W = 256  # source band granularity (lanes)
 PAD_Y = 32  # top padding (the bottom pad grows to fill whole bands)
 KY = 16  # row tap window: within-block dy spread + bilinear margin
 PY_N = 32  # row-permutation rows (>= KY + ROWS - 1, multiple of 8)
@@ -157,7 +163,6 @@ def _warp_kernel(
     bxf = bx.astype(jnp.float32)
 
     channels = band00_ref.shape[1]
-    img_dtype = band00_ref.dtype
 
     rows = (jax.lax.broadcasted_iota(jnp.int32, (ROWS, COLS), 0) + y0).astype(
         jnp.float32
@@ -198,44 +203,17 @@ def _warp_kernel(
     sy_hi = jnp.clip(jnp.floor(fy_max).astype(jnp.int32) + 2, 0, KY)
     r_hi = jnp.clip(jnp.floor(fxr_max).astype(jnp.int32) + 2, 0, R_MAX)
 
-    # --- row-aligned slab --------------------------------------------------
-    top = jnp.concatenate([band00_ref[0], band01_ref[0]], axis=2)
-    bot = jnp.concatenate([band10_ref[0], band11_ref[0]], axis=2)
-    slab = jnp.concatenate([top, bot], axis=1)  # (C, 64, 512)
-
+    # --- row-aligned slab (machinery in slab.py, shared with cv_kernel) ---
     ry = (y0 + by + pad_top) // BAND_H
     lx = (x0 + bx + pad_left) // BAND_W
     off_y = (y0 + by + pad_top) - ry * BAND_H
     off_x = (x0 + bx + pad_left) - lx * BAND_W
-
-    mm_dtype = jnp.float32 if (interpret and img_dtype == jnp.bfloat16) else img_dtype
-    row_src = jax.lax.broadcasted_iota(jnp.int32, (2 * BAND_H, PY_N), 0)
-    row_dst = jax.lax.broadcasted_iota(jnp.int32, (2 * BAND_H, PY_N), 1)
-    py = (row_src == row_dst + off_y).astype(mm_dtype)
-    mm_precision = (
-        jax.lax.Precision.DEFAULT
-        if img_dtype == jnp.bfloat16
-        else jax.lax.Precision.HIGHEST
+    slab_hi, slab_lo, shear_dtype = build_aligned_slab(
+        band00_ref[0], band01_ref[0], band10_ref[0], band11_ref[0],
+        off_y, PY_N, interpret,
     )
-    slab_y = jax.lax.dot_general(
-        py, slab.astype(mm_dtype),
-        dimension_numbers=(((0,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=mm_precision,
-    )  # (PY_N, C, 512)
-    slab_y = jnp.moveaxis(slab_y, 0, 1)  # (C, PY_N, 512)
 
-    shear_dtype = jnp.float32 if interpret else jnp.bfloat16
-    slab_hi = slab_y.astype(jnp.bfloat16).astype(shear_dtype)
-    if img_dtype == jnp.bfloat16:
-        slab_lo = None
-    else:
-        slab_lo = (slab_y - slab_hi.astype(jnp.float32)).astype(
-            jnp.bfloat16
-        ).astype(shear_dtype)
-
-    lane_src = jax.lax.broadcasted_iota(jnp.int32, (2 * BAND_W, 256), 0)
-    lane_dst = jax.lax.broadcasted_iota(jnp.int32, (2 * BAND_W, 256), 1)
+    lane_src, lane_dst = lane_iotas(256)
     xsh_full = jnp.pad(xsh, ((0, 0), (0, 256 - COLS)))
     shear_base = lane_dst + off_x + xsh_full  # (512, 256)
 
@@ -247,19 +225,9 @@ def _warp_kernel(
 
         @pl.when(any_hint & (s < r_hi))
         def _(s=s, sf=sf):
-            pxs = (lane_src == shear_base + s).astype(shear_dtype)
-            sl = jax.lax.dot_general(
-                slab_hi, pxs,
-                dimension_numbers=(((2,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            if slab_lo is not None:
-                sl = sl + jax.lax.dot_general(
-                    slab_lo, pxs,
-                    dimension_numbers=(((2,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-            shear_s[s] = sl  # (C, PY_N, 256)
+            shear_s[s] = select_lanes(
+                slab_hi, slab_lo, lane_src, shear_base, s, shear_dtype
+            )  # (C, PY_N, 256)
             d = fxr - sf
             wx_s[s] = jnp.clip(1.0 - jnp.abs(d), 0.0, 1.0)
             if with_grad:

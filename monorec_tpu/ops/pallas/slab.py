@@ -1,0 +1,117 @@
+"""Shared banded-slab machinery for the gather-free warp kernels.
+
+Both the plane-sweep kernel (``cv_kernel.py``) and the general grid-sample
+kernel (``grid_warp.py``) read their source pixels through the same
+three-step construction, which encodes the hard-won Mosaic constraints in
+ONE place:
+
+1. four DMA'd ``BAND_H x BAND_W`` bands concatenate into a 64x512 slab;
+2. an exact one-hot PERMUTATION MATMUL aligns slab rows so output row k
+   reads absolute source row (base + k) — Mosaic's dynamic rotates/slices
+   are unreliable on this stack, and f32 one-hot matmuls need HIGHEST
+   precision (6 passes) while bf16 one-hots are exact at DEFAULT;
+3. the f32 slab splits into bf16 hi + lo parts: one-hot selection of bf16
+   operands is exact, and hi + lo reconstructs the f32 value to ~1e-5
+   relative — two single-pass matmuls instead of one 6-pass HIGHEST
+   (bf16 source images skip the lo pass entirely).
+
+The XLA:CPU interpreter cannot execute bf16 x bf16 dots, so interpret mode
+upcasts the one-hot operands to f32 — bit-identical results (selection is
+exact either way).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+BAND_H = 32  # source band granularity (rows)
+BAND_W = 256  # source band granularity (lanes)
+
+
+def build_aligned_slab(
+    band00: Array, band01: Array, band10: Array, band11: Array,
+    off_y, py_n: int, interpret: bool,
+) -> Tuple[Array, Optional[Array], object]:
+    """Concatenate the 2x2 band window and row-align it.
+
+    Args:
+      band00..band11: (C, BAND_H, BAND_W) refs' loaded blocks (leading
+        singleton already indexed away by the caller as ``ref[0]``).
+      off_y: scalar int32 — slab row holding the window's first tap row.
+      py_n: static output row count (>= tap window + block rows - 1).
+
+    Returns (slab_hi, slab_lo, shear_dtype): bf16 hi/lo parts of the
+    row-aligned (C, py_n, 2*BAND_W) slab (lo is None for bf16 sources) and
+    the dtype the lane-selection one-hots must use.
+    """
+    top = jnp.concatenate([band00, band01], axis=2)
+    bot = jnp.concatenate([band10, band11], axis=2)
+    slab = jnp.concatenate([top, bot], axis=1)  # (C, 2*BAND_H, 2*BAND_W)
+    img_dtype = slab.dtype
+
+    mm_dtype = (
+        jnp.float32 if (interpret and img_dtype == jnp.bfloat16) else img_dtype
+    )
+    row_src = jax.lax.broadcasted_iota(jnp.int32, (2 * BAND_H, py_n), 0)
+    row_dst = jax.lax.broadcasted_iota(jnp.int32, (2 * BAND_H, py_n), 1)
+    py = (row_src == row_dst + off_y).astype(mm_dtype)
+    mm_precision = (
+        jax.lax.Precision.DEFAULT
+        if img_dtype == jnp.bfloat16
+        else jax.lax.Precision.HIGHEST
+    )
+    slab_y = jax.lax.dot_general(
+        py, slab.astype(mm_dtype),
+        dimension_numbers=(((0,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=mm_precision,
+    )  # (py_n, C, 2*BAND_W)
+    slab_y = jnp.moveaxis(slab_y, 0, 1)  # (C, py_n, 2*BAND_W)
+
+    shear_dtype = jnp.float32 if interpret else jnp.bfloat16
+    slab_hi = slab_y.astype(jnp.bfloat16).astype(shear_dtype)
+    if img_dtype == jnp.bfloat16:
+        slab_lo = None  # values are exactly bf16 already
+    else:
+        slab_lo = (
+            (slab_y - slab_hi.astype(jnp.float32))
+            .astype(jnp.bfloat16)
+            .astype(shear_dtype)
+        )
+    return slab_hi, slab_lo, shear_dtype
+
+
+def lane_iotas(out_lanes: int = 256) -> Tuple[Array, Array]:
+    """(lane_src, lane_dst) iotas for the (2*BAND_W, out_lanes) one-hots."""
+    lane_src = jax.lax.broadcasted_iota(jnp.int32, (2 * BAND_W, out_lanes), 0)
+    lane_dst = jax.lax.broadcasted_iota(jnp.int32, (2 * BAND_W, out_lanes), 1)
+    return lane_src, lane_dst
+
+
+def select_lanes(
+    slab_hi: Array, slab_lo: Optional[Array], lane_src: Array,
+    shear_base: Array, s: int, shear_dtype,
+) -> Array:
+    """Sheared lane selection: one exact one-hot matmul per hi/lo part.
+
+    ``shear_base`` is (2*BAND_W, out_lanes): destination lane d reads
+    source lane ``shear_base[_, d] + s``. Returns (C, py_n, out_lanes) f32.
+    """
+    pxs = (lane_src == shear_base + s).astype(shear_dtype)
+    sl = jax.lax.dot_general(
+        slab_hi, pxs,
+        dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    if slab_lo is not None:
+        sl = sl + jax.lax.dot_general(
+            slab_lo, pxs,
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    return sl

@@ -118,7 +118,9 @@ def make_optimizer(
     args = dict(cfg.get("args", {}))
     lr = args.pop("lr", 1e-4)
     schedule = make_schedule(lr, scheduler_cfg, steps_per_epoch)
-    weight_decay = args.pop("weight_decay", 0.0)
+    # None = absent; an explicit 0.0 must be honored (torch AdamW defaults
+    # to 0.01 only when the arg is not given).
+    weight_decay = args.pop("weight_decay", None)
 
     def _betas():
         betas = args.pop("betas", (0.9, 0.999))
@@ -130,9 +132,9 @@ def make_optimizer(
         if kind == "AdamW":
             opt = optax.adamw(
                 schedule, b1=b1, b2=b2, eps=eps,
-                weight_decay=weight_decay if weight_decay else 0.01,
+                weight_decay=0.01 if weight_decay is None else weight_decay,
             )
-            weight_decay = 0.0
+            weight_decay = None
         elif amsgrad:
             opt = optax.amsgrad(schedule, b1=b1, b2=b2, eps=eps)
         else:

@@ -131,6 +131,31 @@ def test_missing_weights_returns_uninjected(tmp_path, monkeypatch):
     assert not injected
 
 
+def test_mismatched_encoder_structure_refused(resnet_pth, tmp_path):
+    """A .pth whose block counts differ from the model (e.g. resnet34
+    weights under a resnet18 config) must be refused, not injected as a
+    partial subtree that ScopeErrors at the first apply."""
+    sd = torch.load(resnet_pth, weights_only=True)
+    extra = dict(sd)
+    for k, v in sd.items():
+        if k.startswith("layer1.1."):
+            extra[k.replace("layer1.1.", "layer1.2.")] = v.clone()
+    p34 = tmp_path / "resnet34ish.pth"
+    torch.save(extra, p34)
+
+    model = MonoRec(MonoRecConfig(cv_depth_steps=D))
+    init = model.init({"params": jax.random.PRNGKey(0)}, _batch(), False)
+    params, stats, injected = inject_imagenet_encoder(
+        init["params"], init["batch_stats"], str(p34)
+    )
+    assert not injected
+    # Original params untouched.
+    np.testing.assert_array_equal(
+        np.asarray(params["encoder"]["Conv_0"]["kernel"]),
+        np.asarray(init["params"]["encoder"]["Conv_0"]["kernel"]),
+    )
+
+
 def test_frozen_random_encoder_warns(capsys, caplog):
     warn_if_frozen_random_encoder(freeze_resnet=True, encoder_loaded=False)
     assert "RANDOM" in capsys.readouterr().err

@@ -154,6 +154,25 @@ def test_optimizer_reflection_surface(opt_cfg):
     assert np.all(np.isfinite(np.asarray(new["w"])))
 
 
+def test_adamw_explicit_zero_weight_decay_is_honored():
+    """torch AdamW defaults weight_decay to 0.01 only when ABSENT; an
+    explicit 0.0 disables decay. With zero grads, decay is the only force
+    on the params."""
+
+    def decay_only_update(opt_cfg):
+        tx = make_optimizer(opt_cfg)
+        params = {"w": jnp.ones((4,))}
+        updates, _ = tx.update(
+            {"w": jnp.zeros((4,))}, tx.init(params), params
+        )
+        return float(jnp.max(jnp.abs(updates["w"])))
+
+    assert decay_only_update(
+        {"type": "AdamW", "args": {"lr": 1e-2, "weight_decay": 0.0}}
+    ) == 0.0
+    assert decay_only_update({"type": "AdamW", "args": {"lr": 1e-2}}) > 0.0
+
+
 @pytest.mark.parametrize(
     "sched_cfg,at,expect",
     [

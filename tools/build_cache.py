@@ -34,14 +34,28 @@ def main(argv=None):
         with open(a.config) as f:
             cfg = json.load(f)
         block = cfg["data_loader"]
-        ds_args = dict(block["args"])
-        ds_args.pop("use_color_augmentation", None)
-        ds_args["use_color_augmentation"] = False
-        try:
-            dataset = build_dataset(block["type"], ds_args)
-        except TypeError:
-            ds_args.pop("use_color_augmentation")
-            dataset = build_dataset(block["type"], ds_args)
+        base_args = dict(block["args"])
+        for k in ("use_color_augmentation", "color_augmentation"):
+            base_args.pop(k, None)
+        # Datasets name the flag differently (KITTI:
+        # use_color_augmentation, TUM: color_augmentation); try both so
+        # the cache is guaranteed to store CLEAN images.
+        dataset = None
+        for flag in ("use_color_augmentation", "color_augmentation"):
+            try:
+                dataset = build_dataset(block["type"], {**base_args, flag: False})
+                break
+            except TypeError:
+                continue
+        if dataset is None:
+            dataset = build_dataset(block["type"], base_args)
+        for attr in ("use_color_augmentation", "color_augmentation"):
+            if getattr(dataset, attr, False):
+                raise SystemExit(
+                    f"refusing to build a cache from a dataset with {attr}="
+                    "True: the cache must store clean images "
+                    "(CachedDataset re-jitters per epoch)"
+                )
     else:
         dataset = build_dataset(a.dataset, json.loads(a.args))
 
