@@ -89,12 +89,13 @@ def _warp_by_depth(
     grids = jax.vmap(grids_one)(
         depth, poses, keyframe_pose, keyframe_intrinsics, intrinsics
     )  # (B, F, H, W, 2)
-    warped = grid_sample_nhwc(
+    warped, cov = grid_sample_nhwc(
         (frames + add).reshape(b * f, h, w, c),
         grids.reshape(b * f, h, w, 2),
         backend="auto",
+        return_coverage=True,
     )
-    return warped.reshape(b, f, h, w, c)
+    return warped.reshape(b, f, h, w, c), jnp.sum(cov)
 
 
 def reprojection_loss(
@@ -108,11 +109,14 @@ def reprojection_loss(
     mono_auto: bool = False,
     border: int = 0,
     rng: Optional[jax.Array] = None,
+    with_coverage: bool = False,
 ):
     """Multi-frame photometric reprojection loss.
 
     Returns a scalar if reduce else an (B, H, W) error map where invalid
     pixels carry +inf (callers zero/mask them, as the reference does).
+    ``with_coverage`` additionally returns the warp kernel's uncovered-pixel
+    count (0 on the XLA sampler path) for observability.
     """
     keyframe = data["keyframe"]
     b, h, w, c = keyframe.shape
@@ -120,7 +124,7 @@ def reprojection_loss(
     f = frames.shape[1]
 
     depth = 1.0 / inv_depth[..., 0]
-    reproj = _warp_by_depth(
+    reproj, warp_cov = _warp_by_depth(
         depth, frames, poses, intrinsics,
         data["keyframe_pose"], data["keyframe_intrinsics"], add=1.5,
     )
@@ -133,7 +137,7 @@ def reprojection_loss(
         warped_bm = _warp_by_depth(
             depth, bm_f, poses, intrinsics,
             data["keyframe_pose"], data["keyframe_intrinsics"], add=0.0,
-        )[..., 0]
+        )[0][..., 0]
         invalid = ~(warped_bm > 0.5)
 
     key = jnp.broadcast_to((keyframe + 0.5)[:, None], reproj.shape)
@@ -180,8 +184,12 @@ def reprojection_loss(
         raise ValueError("combine_frames must be 'min', 'avg' or 'rnd'")
 
     if reduce:
-        return mask_mean(jnp.where(invalid, 0.0, errors), invalid)
-    return errors
+        out = mask_mean(jnp.where(invalid, 0.0, errors), invalid)
+    else:
+        out = errors
+    if with_coverage:
+        return out, warp_cov
+    return out
 
 
 def edge_aware_smoothness_loss(
@@ -236,17 +244,21 @@ def selfsup_loss(
     use_stereo: bool = False,
     combine_frames: str = "min",
     mask_border: int = 0,
-) -> Array:
+    with_coverage: bool = False,
+):
     """Reprojection + edge-aware smoothness (scaled 1e-3 / 2^scale)."""
-    r = reprojection_loss(
+    r, cov = reprojection_loss(
         inv_depth, data, automasking=automasking, use_mono=use_mono,
         use_stereo=use_stereo, reduce=True, combine_frames=combine_frames,
-        border=mask_border,
+        border=mask_border, with_coverage=True,
     )
     r = jnp.where(jnp.isnan(r), 0.0, r)
     s = edge_aware_smoothness_loss(inv_depth, data["keyframe"])
     s = jnp.where(jnp.isnan(s), 0.0, s)
-    return r + s * 1e-3 / (2**scale)
+    out = r + s * 1e-3 / (2**scale)
+    if with_coverage:
+        return out, cov
+    return out
 
 
 def upsample_nearest_to(x: Array, height: int, width: int) -> Array:

@@ -50,20 +50,27 @@ def depth_loss(data: Dict, alpha=None, roi=None, options=()) -> Dict[str, Array]
     loss_dict = {}
     sdl_sum = 0.0
     md2l_sum = 0.0
+    cov_sum = 0.0
     for i, pred in enumerate(data["predicted_inverse_depths"]):
         pred = jnp.maximum(pred, 0.0)
         pred = upsample_nearest_to(pred, h, w)
         sdl = sparse_depth_loss(pred, gt, l2=False)
-        md2l = selfsup_loss(
+        md2l, cov = selfsup_loss(
             pred, data, scale=i, use_mono=True, use_stereo=use_stereo,
-            automasking=True, combine_frames="min",
+            automasking=True, combine_frames="min", with_coverage=True,
         )
         sdl_sum += sdl
         md2l_sum += md2l
+        cov_sum += cov
         loss_dict[f"sdl_{i}"] = sdl
         loss_dict[f"md2l_{i}"] = md2l
 
     loss_dict["loss"] = 2 * alpha * 4 * sdl_sum + 2 * (1 - alpha) * md2l_sum
+    # Warp-kernel observability: in-image pixels the loss warps could not
+    # reach (zeroed -> treated as invalid reprojections). 0 on the XLA path
+    # and for typical motion; spikes indicate degraded supervision at
+    # extreme depth edges.
+    loss_dict["warp_uncovered"] = cov_sum
     return loss_dict
 
 
@@ -131,6 +138,7 @@ def mask_refinement_loss(data: Dict, alpha=None, roi=None, options=()) -> Dict[s
     sdl_sum = 0.0
     md2l_sum = 0.0
     mask_loss_value = 0.0
+    cov_sum = 0.0
 
     for scale, (mono_pred, stereo_pred) in enumerate(
         zip(data["mono_pred"], data["stereo_pred"])
@@ -176,14 +184,19 @@ def mask_refinement_loss(data: Dict, alpha=None, roi=None, options=()) -> Dict[s
         stereo_sm = edge_aware_smoothness_loss(stereo_pred, data["keyframe"], reduce=False)
         smoothness = jnp.mean(mono_sm * (1 - cv_mask) + stereo_sm * cv_mask)
 
-        mono_repr = reprojection_loss(
+        mono_repr, cov_m = reprojection_loss(
             mono_pred, data, use_mono=True, use_stereo=False,
             automasking=False, reduce=False, combine_frames="min",
-        )[..., None]
-        stereo_repr = reprojection_loss(
+            with_coverage=True,
+        )
+        mono_repr = mono_repr[..., None]
+        stereo_repr, cov_s = reprojection_loss(
             stereo_pred, data, use_mono=False, use_stereo=True,
             automasking=False, reduce=False, combine_frames="min", border=3,
-        )[..., None]
+            with_coverage=True,
+        )
+        stereo_repr = stereo_repr[..., None]
+        cov_sum += cov_m + cov_s
 
         mono_inf = jnp.isinf(mono_repr)
         stereo_inf = jnp.isinf(stereo_repr)
@@ -210,6 +223,7 @@ def mask_refinement_loss(data: Dict, alpha=None, roi=None, options=()) -> Dict[s
     loss_dict["loss"] = (
         2 * alpha * 4 * sdl_sum + 2 * (1 - alpha) * md2l_sum + mask_loss_value
     )
+    loss_dict["warp_uncovered"] = cov_sum
     return loss_dict
 
 
@@ -233,6 +247,7 @@ def depth_refinement_loss(data: Dict, alpha=None, roi=None, options=()) -> Dict[
 
     loss_dict: Dict[str, Array] = {}
     sdl_sum = 0.0
+    cov_sum = 0.0
     md2l_sum = 0.0
 
     stereo_preds = (
@@ -271,18 +286,24 @@ def depth_refinement_loss(data: Dict, alpha=None, roi=None, options=()) -> Dict[
         # result; meaning here keeps the loss scalar with identical value.
         smoothness = jnp.mean(smooth_map)
 
-        mono_repr = reprojection_loss(
+        mono_repr, cov_m = reprojection_loss(
             mono_pred, data, use_mono=True, use_stereo=use_stereo,
             automasking=True, reduce=False, combine_frames="min",
-        )[..., None]
+            with_coverage=True,
+        )
+        mono_repr = mono_repr[..., None]
+        cov_sum += cov_m
         mono_inf = jnp.isinf(mono_repr) | (cv_disc > 0.5)
         mono_repr = mask_mean(jnp.where(mono_inf, 0.0, mono_repr), mono_inf)
 
         if use_stereo_reprl:
-            st_repr = reprojection_loss(
+            st_repr, cov_s = reprojection_loss(
                 mono_pred, data, use_mono=False, use_stereo=True,
                 automasking=False, reduce=False, combine_frames="min", border=3,
-            )[..., None]
+                with_coverage=True,
+            )
+            st_repr = st_repr[..., None]
+            cov_sum += cov_s
             st_inf = jnp.isinf(st_repr) | (cv_disc <= 0.5)
             st_repr = mask_mean(jnp.where(st_inf, 0.0, st_repr), st_inf)
         else:
@@ -297,6 +318,7 @@ def depth_refinement_loss(data: Dict, alpha=None, roi=None, options=()) -> Dict[
         md2l_sum += md2l
 
     loss_dict["loss"] = 2 * alpha * 4 * sdl_sum + 2 * (1 - alpha) * md2l_sum
+    loss_dict["warp_uncovered"] = cov_sum
     return loss_dict
 
 
@@ -309,6 +331,7 @@ def depth_aux_mask_loss(data: Dict, alpha=None, roi=None, options=()) -> Dict[st
 
     loss_dict: Dict[str, Array] = {}
     sdl_sum = 0.0
+    cov_sum = 0.0
     md2l_sum = 0.0
 
     for scale, mono_pred in enumerate(data["mono_pred"]):
@@ -324,10 +347,13 @@ def depth_aux_mask_loss(data: Dict, alpha=None, roi=None, options=()) -> Dict[st
         )
         smoothness = mask_mean(smooth_map, cv_mask)
 
-        mono_repr = reprojection_loss(
+        mono_repr, cov_m = reprojection_loss(
             mono_pred, data, use_mono=True, use_stereo=False,
             automasking=False, reduce=False, combine_frames="min",
-        )[..., None]
+            with_coverage=True,
+        )
+        mono_repr = mono_repr[..., None]
+        cov_sum += cov_m
         mono_inf = jnp.isinf(mono_repr)
         mono_repr = jnp.where(mono_inf, 0.0, mono_repr)
 
@@ -339,6 +365,7 @@ def depth_aux_mask_loss(data: Dict, alpha=None, roi=None, options=()) -> Dict[st
         md2l_sum += md2l
 
     loss_dict["loss"] = 2 * alpha * 4 * sdl_sum + 2 * (1 - alpha) * md2l_sum
+    loss_dict["warp_uncovered"] = cov_sum
     return loss_dict
 
 

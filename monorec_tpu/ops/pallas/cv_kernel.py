@@ -395,6 +395,11 @@ def plane_sweep_sad(
         dchunk = 2
     else:
         dchunk = 1
+    import os as _os
+
+    _force = _os.environ.get("MONOREC_CV_DCHUNK")  # perf experiments only
+    if _force and d % int(_force) == 0:
+        dchunk = int(_force)
 
     padded = jnp.pad(images, ((0, 0), (0, 0), (PAD_Y, PAD_Y), (PAD_X, PAD_X)))
     key_p = jnp.pad(

@@ -40,25 +40,28 @@ def build_aligned_slab(
     """Concatenate the 2x2 band window and row-align it.
 
     Args:
-      band00..band11: (C, BAND_H, BAND_W) refs' loaded blocks (leading
-        singleton already indexed away by the caller as ``ref[0]``).
+      band00..band11: (C, band_h, band_w) refs' loaded blocks (leading
+        singleton already indexed away by the caller as ``ref[0]``); the
+        band geometry is taken from the inputs, so kernels may use
+        different band sizes.
       off_y: scalar int32 — slab row holding the window's first tap row.
       py_n: static output row count (>= tap window + block rows - 1).
 
     Returns (slab_hi, slab_lo, shear_dtype): bf16 hi/lo parts of the
-    row-aligned (C, py_n, 2*BAND_W) slab (lo is None for bf16 sources) and
+    row-aligned (C, py_n, 2*band_w) slab (lo is None for bf16 sources) and
     the dtype the lane-selection one-hots must use.
     """
+    band_h = band00.shape[1]
     top = jnp.concatenate([band00, band01], axis=2)
     bot = jnp.concatenate([band10, band11], axis=2)
-    slab = jnp.concatenate([top, bot], axis=1)  # (C, 2*BAND_H, 2*BAND_W)
+    slab = jnp.concatenate([top, bot], axis=1)  # (C, 2*band_h, 2*band_w)
     img_dtype = slab.dtype
 
     mm_dtype = (
         jnp.float32 if (interpret and img_dtype == jnp.bfloat16) else img_dtype
     )
-    row_src = jax.lax.broadcasted_iota(jnp.int32, (2 * BAND_H, py_n), 0)
-    row_dst = jax.lax.broadcasted_iota(jnp.int32, (2 * BAND_H, py_n), 1)
+    row_src = jax.lax.broadcasted_iota(jnp.int32, (2 * band_h, py_n), 0)
+    row_dst = jax.lax.broadcasted_iota(jnp.int32, (2 * band_h, py_n), 1)
     py = (row_src == row_dst + off_y).astype(mm_dtype)
     mm_precision = (
         jax.lax.Precision.DEFAULT
@@ -86,10 +89,10 @@ def build_aligned_slab(
     return slab_hi, slab_lo, shear_dtype
 
 
-def lane_iotas(out_lanes: int = 256) -> Tuple[Array, Array]:
-    """(lane_src, lane_dst) iotas for the (2*BAND_W, out_lanes) one-hots."""
-    lane_src = jax.lax.broadcasted_iota(jnp.int32, (2 * BAND_W, out_lanes), 0)
-    lane_dst = jax.lax.broadcasted_iota(jnp.int32, (2 * BAND_W, out_lanes), 1)
+def lane_iotas(out_lanes: int = 256, band_w: int = BAND_W) -> Tuple[Array, Array]:
+    """(lane_src, lane_dst) iotas for the (2*band_w, out_lanes) one-hots."""
+    lane_src = jax.lax.broadcasted_iota(jnp.int32, (2 * band_w, out_lanes), 0)
+    lane_dst = jax.lax.broadcasted_iota(jnp.int32, (2 * band_w, out_lanes), 1)
     return lane_src, lane_dst
 
 

@@ -71,24 +71,26 @@ def bilinear_sample(image: Array, grid: Array) -> Array:
 def _grid_sample_tpu(interpret: bool, images: Array, xs: Array, ys: Array):
     """Pallas grid sampler with an analytic coordinate VJP.
 
-    The warped values' gradient w.r.t. the source images is never needed
-    (the losses warp *data* frames), so the backward pass is a second
-    gather-free banded kernel computing only the coordinate gradient —
-    no scatter anywhere.
+    Returns (warped, per-image uncovered-pixel counts). The warped values'
+    gradient w.r.t. the source images is never needed (the losses warp
+    *data* frames), so the backward pass is a second gather-free banded
+    kernel computing only the coordinate gradient — no scatter anywhere.
+    The coverage count is a diagnostic with zero gradient.
     """
     from monorec_tpu.ops.pallas.grid_warp import grid_warp
 
-    return grid_warp(images, xs, ys, interpret=interpret)[0]
+    return grid_warp(images, xs, ys, interpret=interpret)
 
 
 def _grid_sample_tpu_fwd(interpret, images, xs, ys):
     return _grid_sample_tpu(interpret, images, xs, ys), (images, xs, ys)
 
 
-def _grid_sample_tpu_bwd(interpret, res, cot):
+def _grid_sample_tpu_bwd(interpret, res, cots):
     from monorec_tpu.ops.pallas.grid_warp import grid_warp_grad
 
     images, xs, ys = res
+    cot, _cov_cot = cots  # the coverage diagnostic carries no gradient
     gx, gy = grid_warp_grad(images, xs, ys, cot, interpret=interpret)
     return jnp.zeros_like(images), gx, gy
 
@@ -97,8 +99,12 @@ _grid_sample_tpu.defvjp(_grid_sample_tpu_fwd, _grid_sample_tpu_bwd)
 
 
 def grid_sample_nhwc(
-    images: Array, grids: Array, backend: str = "xla", interpret: bool = False
-) -> Array:
+    images: Array,
+    grids: Array,
+    backend: str = "xla",
+    interpret: bool = False,
+    return_coverage: bool = False,
+):
     """Batched sampler: images (N, H, W, C), grids (N, Ho, Wo, 2) -> (N, Ho, Wo, C).
 
     backend="auto" picks the Pallas banded-warp kernel on TPU when shapes
@@ -106,6 +112,11 @@ def grid_sample_nhwc(
     gather formulation to serial loops (~4.3 ms per 256x512x3 warp), the
     kernel to permutation matmuls (~0.4 ms). "xla" keeps the exact gather
     path (required for per-pixel-depth cost volumes and tiny test shapes).
+
+    ``return_coverage`` also returns per-image uncovered-pixel counts (N,):
+    in-image samples the kernel's tap window could not reach (zeroed in the
+    output; possible at extreme depth discontinuities). Always 0 on the
+    XLA path.
     """
     n, h, w, c = images.shape
     if backend == "auto":
@@ -134,11 +145,20 @@ def grid_sample_nhwc(
             imgs = jnp.moveaxis(imgs, -1, 1).astype(jnp.float32)
             xg = jnp.repeat(x, g, axis=0)
             yg = jnp.repeat(y, g, axis=0)
-            out = _grid_sample_tpu(interpret, imgs, xg, yg)
+            out, cov = _grid_sample_tpu(interpret, imgs, xg, yg)
             out = jnp.moveaxis(out, 1, -1).reshape(n, g, h, w, cg)
             out = jnp.moveaxis(out, 1, 3).reshape(n, h, w, g * cg)
-            return out[..., :c].astype(images.dtype)
+            out = out[..., :c].astype(images.dtype)
+            if return_coverage:
+                return out, jnp.sum(cov.reshape(n, g), axis=1)
+            return out
         imgs = jnp.moveaxis(images, -1, 1).astype(jnp.float32)
-        out = _grid_sample_tpu(interpret, imgs, x, y)
-        return jnp.moveaxis(out, 1, -1).astype(images.dtype)
-    return jax.vmap(bilinear_sample)(images, grids)
+        out, cov = _grid_sample_tpu(interpret, imgs, x, y)
+        out = jnp.moveaxis(out, 1, -1).astype(images.dtype)
+        if return_coverage:
+            return out, cov
+        return out
+    out = jax.vmap(bilinear_sample)(images, grids)
+    if return_coverage:
+        return out, jnp.zeros((n,), jnp.float32)
+    return out

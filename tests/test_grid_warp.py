@@ -224,14 +224,18 @@ def test_reprojection_loss_tpu_path_matches_xla():
 
     orig = sampling.grid_sample_nhwc
 
-    def forced(images, grids, backend="xla", interpret=False):
-        return orig(images, grids, backend="tpu", interpret=True)
+    def forced(images, grids, backend="xla", **kw):
+        kw.pop("interpret", None)
+        return orig(images, grids, backend="tpu", interpret=True, **kw)
 
     from monorec_tpu.losses import common as common_mod
 
     common_mod.grid_sample_nhwc, sampling.grid_sample_nhwc = forced, forced
     try:
-        r_tpu = reprojection_loss(inv_depth, data, automasking=True)
+        r_tpu, cov = reprojection_loss(
+            inv_depth, data, automasking=True, with_coverage=True
+        )
     finally:
         common_mod.grid_sample_nhwc, sampling.grid_sample_nhwc = orig, orig
     np.testing.assert_allclose(float(r_tpu), float(r_xla), atol=1e-5)
+    assert float(cov) == 0.0  # smooth in-range depths: fully covered
