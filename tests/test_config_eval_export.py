@@ -155,3 +155,46 @@ def test_make_grid_shapes():
     grid = make_grid(imgs, nrow=2)
     assert grid.shape == (8, 12, 3)
     assert grid.min() >= 0 and grid.max() <= 1
+
+
+def test_all_shipped_configs_build():
+    """Every config in configs/ parses, its arch block builds a
+    MonoRecConfig, its loss name resolves, its metrics exist, and its
+    dataloader type + optimizer/scheduler types are known — catching config
+    typos without needing the datasets on disk."""
+    import json
+    from pathlib import Path
+
+    from monorec_tpu.config.parser import (
+        _DATALOADER_TO_DATASET,
+        build_model_config,
+    )
+    from monorec_tpu.losses import LOSSES
+    from monorec_tpu.metrics import get_metric
+    from monorec_tpu.train.state import make_optimizer
+
+    root = Path(__file__).resolve().parents[1] / "configs"
+    files = sorted(root.rglob("*.json"))
+    assert len(files) >= 9
+    for f in files:
+        cfg = json.loads(f.read_text())
+        archs = [cfg["arch"]] if "arch" in cfg else cfg.get("models", [])
+        assert archs, f
+        for a in archs:
+            mc, ckpts = build_model_config(a.get("args", {}))
+            assert mc.cv_depth_steps > 0
+        # pointcloud configs use the reference's "data_set" key, naming the
+        # dataset class directly; loader configs name *Dataloader types.
+        block = cfg.get("data_loader") or cfg.get("data_set")
+        assert block is not None, f
+        from monorec_tpu import data as data_mod
+
+        data_mod._register_extra()
+        name = _DATALOADER_TO_DATASET.get(block["type"], block["type"])
+        assert name in data_mod.DATASETS, (f, block["type"])
+        if "loss" in cfg:
+            assert cfg["loss"] in LOSSES, (f, cfg["loss"])
+        for m in cfg.get("metrics", []):
+            get_metric(m)
+        if "optimizer" in cfg:
+            make_optimizer(cfg["optimizer"], cfg.get("lr_scheduler"), 10)
