@@ -34,7 +34,7 @@ def residual_image(
 
     depth = 1.0 / inv_depth[..., 0]
     # Reference warps frame+1 and tests zero hits for the visibility mask.
-    warped = _warp_by_depth(
+    warped, _cov = _warp_by_depth(
         depth, frames, poses, intrinsics,
         data["keyframe_pose"], data["keyframe_intrinsics"], add=1.0,
     )  # (B, F, H, W, C)
