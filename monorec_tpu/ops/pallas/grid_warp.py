@@ -13,16 +13,23 @@ scalars:
   the block's displacement window are DMA'd via index maps driven by
   per-block integer bounds (min displacement over the block, precomputed on
   the XLA side and scalar-prefetched);
-* ONE row-aligned 64x512 slab per program (exact one-hot permutation
-  matmul); the per-lane x displacement profile is absorbed by a per-lane
-  integer shear folded into the lane-selection one-hots (bf16 hi/lo
-  two-pass, ~1e-5 relative); the bilinear tap loop covers only the per-lane
-  residual (fraction + within-column spread);
+* ONE row-aligned 128x512 slab per program (exact one-hot permutation
+  matmuls on bf16 hi/lo parts); the per-lane x displacement profile is
+  absorbed by a per-lane integer shear folded into the lane-selection
+  one-hots; the bilinear tap loop covers the residual spread with a
+  DYNAMIC-bound double loop (s outer over lane taps, sy inner over row
+  taps via ``fori_loop`` on a single slab scratch), so the cost scales
+  with each block's actual displacement spread, not the static window;
+* the windows are sized for depth-discontinuity warps: a depth edge makes
+  BOTH coordinates jump (dx and dy jump by up to coord*t*delta_inv under
+  forward motion — measured ~33 px of dy at a 5 m object under 1.4 m
+  ego-motion), so the row window KY=48 (128-row band slab) covers ~46 px
+  dy jumps and the lane residual window R_MAX=72 covers ~70 px disparity
+  jumps (the worst fixture-scale stereo edge is ~65 px); pixels beyond
+  produce 0 (the losses treat them as invalid reprojections) and are
+  counted per image;
 * out-of-image taps read the image's zero padding — torch
   ``grid_sample(padding_mode='zeros', align_corners=False)`` semantics;
-* a per-image coverage counter reports in-image pixels whose source fell
-  outside the tap window (possible at extreme depth discontinuities; such
-  pixels produce 0, which the losses treat as "invalid reprojection");
 * the same banded machinery computes the *coordinate gradient*
   (``grid_warp_grad``): d(bilinear)/dx is the tap-difference profile, so
   the backward pass is another gather-free kernel pass and needs no
@@ -44,7 +51,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from monorec_tpu.ops.pallas.slab import (
-    BAND_H,
     BAND_W,
     build_aligned_slab,
     lane_iotas,
@@ -55,20 +61,28 @@ Array = jax.Array
 
 ROWS = 16  # output rows per program
 COLS = 128  # output cols per program
-PAD_Y = 32  # top padding (the bottom pad grows to fill whole bands)
-KY = 16  # row tap window: within-block dy spread + bilinear margin
-PY_N = 32  # row-permutation rows (>= KY + ROWS - 1, multiple of 8)
+BAND_H = 64  # row-band granularity: the 128-row slab gives KY=48 row taps
+PAD_Y = 48  # top padding (the bottom pad grows to fill whole bands)
+KY = 48  # row tap window: within-block dy spread incl. depth-edge jumps
+PY_N = 64  # row-permutation rows (>= KY + ROWS - 1, multiple of 8)
 # Residual lane taps after the per-lane shear. The shear absorbs across-lane
-# (vertical-edge) disparity jumps; ACROSS-ROW jumps (horizontal depth edges)
-# land in the residual window, so R_MAX bounds the representable
-# within-column spread — pixels beyond it are zeroed + counted (the losses
-# treat them as invalid reprojections). The phase-A loop is gated by the
-# dynamic r_hi, so smooth blocks pay nothing for the larger static bound.
-R_MAX = 48
+# (vertical-edge) disparity jumps up to XSH_MAX; ACROSS-ROW jumps
+# (horizontal depth edges) land in the residual window, so R_MAX bounds the
+# representable within-column spread — pixels beyond it are zeroed +
+# counted (the losses treat them as invalid reprojections). 72 covers the
+# worst stereo edge jump at fixture-scale intrinsics (fx*0.54*full
+# inv-range ~ 65 px at a 3.2 m object; real-KITTI fx ~ 497 pushes it to
+# ~84 px — those extreme rows stay counted); vertical-edge jumps beyond
+# XSH_MAX spill into this window too (total per-lane reach
+# XSH_MAX + R_MAX = 129 either way). Both loops are bounded by dynamic
+# (r_hi, sy_hi), so smooth blocks pay nothing.
+R_MAX = 72
 XSH_MAX = (2 * BAND_W - 1) - (BAND_W - 1) - (COLS - 1) - (R_MAX - 1)
 
 assert (BAND_H - 1) + KY + ROWS - 1 <= 2 * BAND_H
 assert PY_N >= KY + ROWS - 1
+# The 8-strided row loop reads aligned 24-row windows up to the last tap.
+assert KY % 8 == 0 and PY_N >= 8 * (KY // 8 - 1) + ROWS + 8
 assert XSH_MAX > 0
 
 
@@ -88,8 +102,9 @@ def _hat_grad(d: Array) -> Array:
 
 def _pad_extents(height: int, width: int) -> Tuple[int, int, int, int]:
     """(pad_top, pad_bottom, pad_left, pad_right): zero padding such that the
-    2-band window (64 rows x 512 lanes) always fits the padded extent."""
-    total_h = -(-(height + 2 * PAD_Y) // BAND_H) * BAND_H
+    2-band window (2*BAND_H rows x 512 lanes) always fits the padded
+    extent."""
+    total_h = -(-(height + PAD_Y + BAND_H) // BAND_H) * BAND_H
     total_w = -(-(width + 2 * BAND_W) // BAND_W) * BAND_W
     return PAD_Y, total_h - height - PAD_Y, BAND_W, total_w - width - BAND_W
 
@@ -145,10 +160,10 @@ def _warp_kernel(
 ):
     if with_grad:
         cot_ref = cot_ref_or_out
-        out_ref, cov_ref, acc_s, shear_s, wx_s, dwx_s = refs
+        out_ref, cov_ref, acc_s, cur_s = refs
     else:
         out_ref = cot_ref_or_out
-        cov_ref, acc_s, shear_s, wx_s = refs[0], refs[1], refs[2], refs[3]
+        cov_ref, acc_s, cur_s = refs
 
     n = pl.program_id(0)
     rbi = pl.program_id(1)
@@ -161,8 +176,6 @@ def _warp_kernel(
     bx = bounds_ref[flat, 1]
     byf = by.astype(jnp.float32)
     bxf = bx.astype(jnp.float32)
-
-    channels = band00_ref.shape[1]
 
     rows = (jax.lax.broadcasted_iota(jnp.int32, (ROWS, COLS), 0) + y0).astype(
         jnp.float32
@@ -211,53 +224,55 @@ def _warp_kernel(
     slab_hi, slab_lo, shear_dtype = build_aligned_slab(
         band00_ref[0], band01_ref[0], band10_ref[0], band11_ref[0],
         off_y, PY_N, interpret,
-    )
+    )  # (C, PY_N, 512) parts — C-major keeps ROWS in the sublane dim
 
     lane_src, lane_dst = lane_iotas(256)
     xsh_full = jnp.pad(xsh, ((0, 0), (0, 256 - COLS)))
     shear_base = lane_dst + off_x + xsh_full  # (512, 256)
 
     acc_s[...] = jnp.zeros(acc_s.shape, jnp.float32)
+    if with_grad:
+        cot = cot_ref[0].astype(jnp.float32)  # (C, ROWS, COLS)
 
-    # --- phase A: sheared slabs + x tap weights ---------------------------
+    # --- double tap loop: lane taps outer (one sheared slab at a time in
+    # scratch), row taps inner with a dynamic fori bound — per-block cost
+    # scales with the actual displacement spread ---------------------------
     for s in range(R_MAX):
         sf = float(s)
 
         @pl.when(any_hint & (s < r_hi))
         def _(s=s, sf=sf):
-            shear_s[s] = select_lanes(
+            cur_s[...] = select_lanes(
                 slab_hi, slab_lo, lane_src, shear_base, s, shear_dtype
             )  # (C, PY_N, 256)
             d = fxr - sf
-            wx_s[s] = jnp.clip(1.0 - jnp.abs(d), 0.0, 1.0)
+            wxs = jnp.clip(1.0 - jnp.abs(d), 0.0, 1.0)
             if with_grad:
-                dwx_s[s] = _hat_grad(d)
+                dwxs = _hat_grad(d)
 
-    # --- phase B: banded y taps -------------------------------------------
-    if with_grad:
-        cot = cot_ref[0].astype(jnp.float32)  # (C, ROWS, COLS)
-
-    for sy in range(KY):
-        syf = float(sy)
-
-        @pl.when(any_hint & (sy < sy_hi))
-        def _(sy=sy, syf=syf):
-            d = fy - syf
-            wy = jnp.clip(1.0 - jnp.abs(d), 0.0, 1.0)
-            if with_grad:
-                dwy = _hat_grad(d)
-
-            def sbody(s, _):
-                src = shear_s[s, :, sy : sy + ROWS, :COLS]  # (C, ROWS, COLS)
-                if with_grad:
-                    ctv = jnp.sum(cot * src, axis=0)  # (ROWS, COLS)
-                    acc_s[0] += dwx_s[s] * wy * ctv
-                    acc_s[1] += wx_s[s] * dwy * ctv
-                else:
-                    acc_s[...] += (wy * wx_s[s])[None] * src
+            # Mosaic only allows dynamic sublane offsets that are multiples
+            # of 8, so the row loop strides by 8 (one aligned 24-row window
+            # read per iteration) with a BRANCH-FREE static 8-tap sub-loop:
+            # taps beyond a pixel's fraction window have zero hat weight,
+            # so no per-tap predication is needed (and scalar branches in
+            # tap loops dominate runtime — see cv_kernel).
+            def cbody(ci, _):
+                v = cur_s[:, pl.ds(8 * ci, ROWS + 8), :COLS]
+                base = (8 * ci).astype(jnp.float32)
+                for f in range(8):
+                    dyy = fy - (base + float(f))
+                    wy = jnp.clip(1.0 - jnp.abs(dyy), 0.0, 1.0)
+                    src = v[:, f : f + ROWS, :]
+                    if with_grad:
+                        dwy = _hat_grad(dyy)
+                        ctv = jnp.sum(cot * src, axis=0)  # (ROWS, COLS)
+                        acc_s[0] += dwxs * wy * ctv
+                        acc_s[1] += wxs * dwy * ctv
+                    else:
+                        acc_s[...] += (wy * wxs)[None] * src
                 return 0
 
-            jax.lax.fori_loop(0, r_hi, sbody, 0)
+            jax.lax.fori_loop(0, (sy_hi + 7) // 8, cbody, 0)
 
     out_ref[0] = acc_s[...]
 
@@ -313,9 +328,11 @@ def _make_call(
         out_spec = pl.BlockSpec(
             (1, 2, ROWS, COLS), lambda ni, rbi, cbi, bounds: (ni, 0, rbi, cbi)
         )
+        acc_shape = (2, ROWS, COLS)
     else:
         out_c = c
         out_spec = full_spec
+        acc_shape = (c, ROWS, COLS)
 
     kernel = functools.partial(
         _warp_kernel,
@@ -330,12 +347,9 @@ def _make_call(
     )
 
     scratch = [
-        pltpu.VMEM((out_c, ROWS, COLS), jnp.float32),  # acc
-        pltpu.VMEM((R_MAX, c, PY_N, 256), jnp.float32),  # sheared slabs
-        pltpu.VMEM((R_MAX, ROWS, COLS), jnp.float32),  # wx
+        pltpu.VMEM(acc_shape, jnp.float32),
+        pltpu.VMEM((c, PY_N, 256), jnp.float32),  # current sheared slab
     ]
-    if with_grad:
-        scratch.append(pltpu.VMEM((R_MAX, ROWS, COLS), jnp.float32))  # dwx
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

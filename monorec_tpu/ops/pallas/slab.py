@@ -35,9 +35,14 @@ BAND_W = 256  # source band granularity (lanes)
 
 def build_aligned_slab(
     band00: Array, band01: Array, band10: Array, band11: Array,
-    off_y, py_n: int, interpret: bool,
+    off_y, py_n: int, interpret: bool, c_major: bool = True,
 ) -> Tuple[Array, Optional[Array], object]:
     """Concatenate the 2x2 band window and row-align it.
+
+    The f32 slab splits into bf16 hi/lo BEFORE the row matmul: one-hot row
+    selection commutes with the per-element split, so two DEFAULT-precision
+    bf16 passes produce bit-identical values to one 6-pass HIGHEST f32
+    matmul followed by the split — at a third of the MXU cost.
 
     Args:
       band00..band11: (C, band_h, band_w) refs' loaded blocks (leading
@@ -46,10 +51,12 @@ def build_aligned_slab(
         different band sizes.
       off_y: scalar int32 — slab row holding the window's first tap row.
       py_n: static output row count (>= tap window + block rows - 1).
+      c_major: True -> (C, py_n, 2*band_w) parts (static row reads);
+        False -> (py_n, C, 2*band_w) (leading-axis dynamic row reads).
 
     Returns (slab_hi, slab_lo, shear_dtype): bf16 hi/lo parts of the
-    row-aligned (C, py_n, 2*band_w) slab (lo is None for bf16 sources) and
-    the dtype the lane-selection one-hots must use.
+    row-aligned slab (lo is None for bf16 sources) and the dtype the
+    lane-selection one-hots must use.
     """
     band_h = band00.shape[1]
     top = jnp.concatenate([band00, band01], axis=2)
@@ -57,35 +64,32 @@ def build_aligned_slab(
     slab = jnp.concatenate([top, bot], axis=1)  # (C, 2*band_h, 2*band_w)
     img_dtype = slab.dtype
 
-    mm_dtype = (
-        jnp.float32 if (interpret and img_dtype == jnp.bfloat16) else img_dtype
-    )
+    # Split first (per-element, so it commutes with the row selection).
+    shear_dtype = jnp.float32 if interpret else jnp.bfloat16
+    parts = [slab.astype(jnp.bfloat16)]
+    if img_dtype != jnp.bfloat16:
+        parts.append(
+            (slab.astype(jnp.float32) - parts[0].astype(jnp.float32)).astype(
+                jnp.bfloat16
+            )
+        )
+
     row_src = jax.lax.broadcasted_iota(jnp.int32, (2 * band_h, py_n), 0)
     row_dst = jax.lax.broadcasted_iota(jnp.int32, (2 * band_h, py_n), 1)
-    py = (row_src == row_dst + off_y).astype(mm_dtype)
-    mm_precision = (
-        jax.lax.Precision.DEFAULT
-        if img_dtype == jnp.bfloat16
-        else jax.lax.Precision.HIGHEST
-    )
-    slab_y = jax.lax.dot_general(
-        py, slab.astype(mm_dtype),
-        dimension_numbers=(((0,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=mm_precision,
-    )  # (py_n, C, 2*BAND_W)
-    slab_y = jnp.moveaxis(slab_y, 0, 1)  # (C, py_n, 2*BAND_W)
+    py = (row_src == row_dst + off_y).astype(shear_dtype)
 
-    shear_dtype = jnp.float32 if interpret else jnp.bfloat16
-    slab_hi = slab_y.astype(jnp.bfloat16).astype(shear_dtype)
-    if img_dtype == jnp.bfloat16:
-        slab_lo = None  # values are exactly bf16 already
-    else:
-        slab_lo = (
-            (slab_y - slab_hi.astype(jnp.float32))
-            .astype(jnp.bfloat16)
-            .astype(shear_dtype)
-        )
+    out = []
+    for part in parts:
+        part_y = jax.lax.dot_general(
+            py, part.astype(shear_dtype),
+            dimension_numbers=(((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (py_n, C, 2*band_w) f32, values exactly representable in bf16
+        if c_major:
+            part_y = jnp.moveaxis(part_y, 0, 1)
+        out.append(part_y.astype(shear_dtype))
+    slab_hi = out[0]
+    slab_lo = out[1] if len(out) > 1 else None
     return slab_hi, slab_lo, shear_dtype
 
 
