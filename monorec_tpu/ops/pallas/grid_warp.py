@@ -235,44 +235,45 @@ def _warp_kernel(
         cot = cot_ref[0].astype(jnp.float32)  # (C, ROWS, COLS)
 
     # --- double tap loop: lane taps outer (one sheared slab at a time in
-    # scratch), row taps inner with a dynamic fori bound — per-block cost
-    # scales with the actual displacement spread ---------------------------
-    for s in range(R_MAX):
-        sf = float(s)
+    # scratch), row taps inner — BOTH loops are dynamic fori_loops, so the
+    # compiled program holds ONE copy of the tap body and per-block cost
+    # scales with the block's actual displacement spread --------------------
+    def sbody(s, _):
+        cur_s[...] = select_lanes(
+            slab_hi, slab_lo, lane_src, shear_base, s, shear_dtype
+        )  # (C, PY_N, 256)
+        d = fxr - s.astype(jnp.float32)
+        wxs = jnp.clip(1.0 - jnp.abs(d), 0.0, 1.0)
+        dwxs = _hat_grad(d) if with_grad else None
 
-        @pl.when(any_hint & (s < r_hi))
-        def _(s=s, sf=sf):
-            cur_s[...] = select_lanes(
-                slab_hi, slab_lo, lane_src, shear_base, s, shear_dtype
-            )  # (C, PY_N, 256)
-            d = fxr - sf
-            wxs = jnp.clip(1.0 - jnp.abs(d), 0.0, 1.0)
-            if with_grad:
-                dwxs = _hat_grad(d)
+        # Mosaic only allows dynamic sublane offsets that are multiples
+        # of 8, so the row loop strides by 8 (one aligned 24-row window
+        # read per iteration) with a BRANCH-FREE static 8-tap sub-loop:
+        # taps beyond a pixel's fraction window have zero hat weight,
+        # so no per-tap predication is needed (and scalar branches in
+        # tap loops dominate runtime — see cv_kernel).
+        def cbody(ci, _):
+            v = cur_s[:, pl.ds(8 * ci, ROWS + 8), :COLS]
+            base = (8 * ci).astype(jnp.float32)
+            for f in range(8):
+                dyy = fy - (base + float(f))
+                wy = jnp.clip(1.0 - jnp.abs(dyy), 0.0, 1.0)
+                src = v[:, f : f + ROWS, :]
+                if with_grad:
+                    dwy = _hat_grad(dyy)
+                    ctv = jnp.sum(cot * src, axis=0)  # (ROWS, COLS)
+                    acc_s[0] += dwxs * wy * ctv
+                    acc_s[1] += wxs * dwy * ctv
+                else:
+                    acc_s[...] += (wy * wxs)[None] * src
+            return 0
 
-            # Mosaic only allows dynamic sublane offsets that are multiples
-            # of 8, so the row loop strides by 8 (one aligned 24-row window
-            # read per iteration) with a BRANCH-FREE static 8-tap sub-loop:
-            # taps beyond a pixel's fraction window have zero hat weight,
-            # so no per-tap predication is needed (and scalar branches in
-            # tap loops dominate runtime — see cv_kernel).
-            def cbody(ci, _):
-                v = cur_s[:, pl.ds(8 * ci, ROWS + 8), :COLS]
-                base = (8 * ci).astype(jnp.float32)
-                for f in range(8):
-                    dyy = fy - (base + float(f))
-                    wy = jnp.clip(1.0 - jnp.abs(dyy), 0.0, 1.0)
-                    src = v[:, f : f + ROWS, :]
-                    if with_grad:
-                        dwy = _hat_grad(dyy)
-                        ctv = jnp.sum(cot * src, axis=0)  # (ROWS, COLS)
-                        acc_s[0] += dwxs * wy * ctv
-                        acc_s[1] += wxs * dwy * ctv
-                    else:
-                        acc_s[...] += (wy * wxs)[None] * src
-                return 0
+        jax.lax.fori_loop(0, (sy_hi + 7) // 8, cbody, 0)
+        return 0
 
-            jax.lax.fori_loop(0, (sy_hi + 7) // 8, cbody, 0)
+    @pl.when(any_hint)
+    def _():
+        jax.lax.fori_loop(0, r_hi, sbody, 0)
 
     out_ref[0] = acc_s[...]
 
