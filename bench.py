@@ -13,7 +13,12 @@ backend, ``block_until_ready`` is not a reliable fence.
 
 import json
 import os
+import sys
 import time
+
+
+def _note(msg):
+    print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
 
 
 def main():
@@ -48,7 +53,9 @@ def main():
         return out["result"].mean() + out["cv_mask"].mean()
 
     eps = jnp.float32(0.0)
+    _note("compiling forward...")
     float(fwd_chained(variables, batch, eps))  # compile
+    _note("forward compiled")
     # Steady-state warmup: the first executions after compile run ~40%
     # slower on the axon tunnel (lazy transfer/allocator setup); a single
     # warmup call under-reports by that much.
@@ -95,6 +102,7 @@ def main():
         batch_size * iters / (time.perf_counter() - t0), 2
     )
 
+    _note(f"forward done: {result}")
     if os.environ.get("BENCH_TRAIN", "1") != "0":
         result["train_step_kf_per_sec"] = round(_bench_train_step(batch_size), 2)
 
@@ -147,8 +155,10 @@ def _bench_train_step(batch_size: int) -> float:
 
     rng = jax.random.PRNGKey(1)
     eps = jnp.float32(0.0)
+    _note("compiling train step...")
     state, loss = step(state, batch, rng, eps)
     float(loss)  # compile + warmup
+    _note("train step compiled")
 
     iters = 5
     t0 = time.perf_counter()

@@ -32,6 +32,16 @@ Array = jax.Array
 INF = jnp.inf
 
 
+def loss_warp_dtype():
+    """Source-value dtype for the loss warps' kernel path (XLA path is
+    always exact f32). Default bf16 — the recommended TPU configuration;
+    set ``MONOREC_LOSS_WARP_DTYPE=float32`` for exact-parity runs."""
+    import os
+
+    name = os.environ.get("MONOREC_LOSS_WARP_DTYPE", "bfloat16")
+    return jnp.float32 if name == "float32" else jnp.bfloat16
+
+
 def compute_errors(img0: Array, img1: Array) -> Array:
     """0.85*SSIM + 0.15*L1, channel-averaged. (B, H, W)."""
     s = ssim(img0, img1, pad_reflection=False, gaussian_average=True, comp_mode=True)
@@ -69,7 +79,10 @@ def _warp_by_depth(
     The grids for all (sample, frame) pairs are computed with vmapped
     geometry, then sampled in ONE batched call so the TPU path runs a
     single Pallas banded-warp kernel over the (B*F) stack (backend="auto"
-    in ``grid_sample_nhwc``) instead of per-frame serial gathers.
+    in ``grid_sample_nhwc``) instead of per-frame serial gathers. On the
+    kernel path the source values are quantized to ``loss_warp_dtype()``
+    (default bf16: one permutation matmul per tap instead of two and half
+    the band DMA; ~2^-8 relative quantization of uint8-derived images).
     """
     b, f, h, w, c = frames.shape
 
@@ -94,6 +107,7 @@ def _warp_by_depth(
         grids.reshape(b * f, h, w, 2),
         backend="auto",
         return_coverage=True,
+        kernel_dtype=loss_warp_dtype(),
     )
     return warped.reshape(b, f, h, w, c), jnp.sum(cov)
 

@@ -104,6 +104,7 @@ def grid_sample_nhwc(
     backend: str = "xla",
     interpret: bool = False,
     return_coverage: bool = False,
+    kernel_dtype=None,
 ):
     """Batched sampler: images (N, H, W, C), grids (N, Ho, Wo, 2) -> (N, Ho, Wo, C).
 
@@ -112,6 +113,15 @@ def grid_sample_nhwc(
     gather formulation to serial loops (~4.3 ms per 256x512x3 warp), the
     kernel to permutation matmuls (~0.4 ms). "xla" keeps the exact gather
     path (required for per-pixel-depth cost volumes and tiny test shapes).
+
+    ``kernel_dtype`` (None | jnp.float32 | jnp.bfloat16) quantizes the
+    source values on the KERNEL path only (the XLA path is unaffected, so
+    CPU parity tests keep exact semantics). bf16 sources skip the slab's
+    lo-part pass entirely — one permutation matmul per tap instead of two,
+    and half the band DMA — at a ~2^-8 relative source quantization (the
+    recommended TPU loss-warp configuration; images are uint8-derived so
+    the quantization is below sensor noise). The output is always f32
+    accumulated and returned in the input dtype.
 
     ``return_coverage`` also returns per-image uncovered-pixel counts (N,):
     in-image samples the kernel's tap window could not reach (zeroed in the
@@ -128,6 +138,7 @@ def grid_sample_nhwc(
         )
         backend = "tpu" if (on_tpu and ok) else "xla"
     if backend == "tpu":
+        kdtype = jnp.float32 if kernel_dtype is None else kernel_dtype
         x = jnp.clip(_unnormalize(grids[..., 0], w), -3.0, w + 2.0)
         y = jnp.clip(_unnormalize(grids[..., 1], h), -3.0, h + 2.0)
         x = x.astype(jnp.float32)
@@ -142,7 +153,7 @@ def grid_sample_nhwc(
             imgs = jnp.pad(images, ((0, 0), (0, 0), (0, 0), (0, pad_c)))
             imgs = imgs.reshape(n, h, w, g, cg)
             imgs = jnp.moveaxis(imgs, 3, 1).reshape(n * g, h, w, cg)
-            imgs = jnp.moveaxis(imgs, -1, 1).astype(jnp.float32)
+            imgs = jnp.moveaxis(imgs, -1, 1).astype(kdtype)
             xg = jnp.repeat(x, g, axis=0)
             yg = jnp.repeat(y, g, axis=0)
             out, cov = _grid_sample_tpu(interpret, imgs, xg, yg)
@@ -152,7 +163,7 @@ def grid_sample_nhwc(
             if return_coverage:
                 return out, jnp.sum(cov.reshape(n, g), axis=1)
             return out
-        imgs = jnp.moveaxis(images, -1, 1).astype(jnp.float32)
+        imgs = jnp.moveaxis(images, -1, 1).astype(kdtype)
         out, cov = _grid_sample_tpu(interpret, imgs, x, y)
         out = jnp.moveaxis(out, 1, -1).astype(images.dtype)
         if return_coverage:

@@ -230,12 +230,22 @@ def test_reprojection_loss_tpu_path_matches_xla():
 
     from monorec_tpu.losses import common as common_mod
 
+    import os
+
     common_mod.grid_sample_nhwc, sampling.grid_sample_nhwc = forced, forced
     try:
-        r_tpu, cov = reprojection_loss(
+        # bf16 source quantization (the TPU default): ~2^-8 relative drift.
+        r_bf16, cov = reprojection_loss(
             inv_depth, data, automasking=True, with_coverage=True
         )
+        # Exact-parity mode must match the XLA gather path to fp tolerance.
+        os.environ["MONOREC_LOSS_WARP_DTYPE"] = "float32"
+        try:
+            r_f32 = reprojection_loss(inv_depth, data, automasking=True)
+        finally:
+            del os.environ["MONOREC_LOSS_WARP_DTYPE"]
     finally:
         common_mod.grid_sample_nhwc, sampling.grid_sample_nhwc = orig, orig
-    np.testing.assert_allclose(float(r_tpu), float(r_xla), atol=1e-5)
+    np.testing.assert_allclose(float(r_f32), float(r_xla), atol=1e-5)
+    np.testing.assert_allclose(float(r_bf16), float(r_xla), atol=2e-3)
     assert float(cov) == 0.0  # smooth in-range depths: fully covered

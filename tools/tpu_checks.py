@@ -113,6 +113,15 @@ def grid_warp_parity(n=4, h=256, w=512, seed=3):
     # The gradient contracts the cotangent over channels, so its scale is
     # tens; the hi/lo split's ~1e-4 relative error budgets accordingly.
     ok &= d < 1e-3 and gd < 1e-3 + 1e-4 * g_scale
+    # bf16 source quantization (the loss-warp default): ~2^-8 relative.
+    got16 = jax.jit(
+        lambda g: grid_sample_nhwc(
+            imgs, g, backend="tpu", kernel_dtype=jnp.bfloat16
+        )
+    )(grids)
+    d16 = np.abs(np.asarray(got16) - np.asarray(ref)).max()
+    print(f"grid_warp {h}x{w} bf16-source fwd max|diff| {d16:.2e}")
+    ok &= d16 < 2e-2
     print("GRID WARP", "PASS" if ok else "FAIL")
     return ok
 
