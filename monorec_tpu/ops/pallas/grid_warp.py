@@ -30,11 +30,14 @@ scalars:
   counted per image;
 * out-of-image taps read the image's zero padding — torch
   ``grid_sample(padding_mode='zeros', align_corners=False)`` semantics;
-* the same banded machinery computes the *coordinate gradient*
-  (``grid_warp_grad``): d(bilinear)/dx is the tap-difference profile, so
-  the backward pass is another gather-free kernel pass and needs no
-  scatter at all (image gradients are never needed — the warped frames are
-  data, not parameters).
+* the same banded machinery computes the *coordinate gradient* two ways:
+  ``grid_warp_jac`` emits the per-pixel Jacobian (d out/dx, d out/dy)
+  alongside the values in the SAME pass (two extra FMAs per tap; the
+  training VJP then reduces it against the cotangent elementwise, so the
+  gather machinery runs once per warp), and ``grid_warp_grad`` is a
+  standalone cotangent-contracting pass. Neither needs a scatter (image
+  gradients are never needed — the warped frames are data, not
+  parameters).
 
 Layout: images (N, C, H, W) channels-first, coords as absolute pixel
 positions (align_corners=False units) in two (N, H, W) planes.
@@ -156,11 +159,15 @@ def _warp_kernel(
     pad_top: int,
     pad_left: int,
     with_grad: bool,
+    with_jac: bool,
     interpret: bool,
 ):
     if with_grad:
         cot_ref = cot_ref_or_out
         out_ref, cov_ref, acc_s, cur_s = refs
+    elif with_jac:
+        out_ref = cot_ref_or_out
+        jx_ref, jy_ref, cov_ref, acc_s, cur_s = refs
     else:
         out_ref = cot_ref_or_out
         cov_ref, acc_s, cur_s = refs
@@ -244,7 +251,7 @@ def _warp_kernel(
         )  # (C, PY_N, 256)
         d = fxr - s.astype(jnp.float32)
         wxs = jnp.clip(1.0 - jnp.abs(d), 0.0, 1.0)
-        dwxs = _hat_grad(d) if with_grad else None
+        dwxs = _hat_grad(d) if (with_grad or with_jac) else None
 
         # Mosaic only allows dynamic sublane offsets that are multiples
         # of 8, so the row loop strides by 8 (one aligned 24-row window
@@ -264,6 +271,12 @@ def _warp_kernel(
                     ctv = jnp.sum(cot * src, axis=0)  # (ROWS, COLS)
                     acc_s[0] += dwxs * wy * ctv
                     acc_s[1] += wxs * dwy * ctv
+                elif with_jac:
+                    c = src.shape[0]
+                    dwy = _hat_grad(dyy)
+                    acc_s[:c] += (wy * wxs)[None] * src
+                    acc_s[c : 2 * c] += (wy * dwxs)[None] * src
+                    acc_s[2 * c :] += (dwy * wxs)[None] * src
                 else:
                     acc_s[...] += (wy * wxs)[None] * src
             return 0
@@ -275,7 +288,13 @@ def _warp_kernel(
     def _():
         jax.lax.fori_loop(0, r_hi, sbody, 0)
 
-    out_ref[0] = acc_s[...]
+    if with_jac:
+        c = out_ref.shape[1]
+        out_ref[0] = acc_s[:c]
+        jx_ref[0] = acc_s[c : 2 * c]
+        jy_ref[0] = acc_s[2 * c :]
+    else:
+        out_ref[0] = acc_s[...]
 
 
 def _make_call(
@@ -284,11 +303,13 @@ def _make_call(
     ys: Array,  # (N, H, W)
     cot: Optional[Array],  # (N, C, H, W) for the gradient pass
     interpret: bool,
+    with_jac: bool = False,
 ):
     n, c, h, w = images.shape
     assert h % ROWS == 0 and w % COLS == 0, (h, w)
     assert xs.shape == (n, h, w) and ys.shape == (n, h, w)
     with_grad = cot is not None
+    assert not (with_grad and with_jac)
 
     pt, pb, plft, prt = _pad_extents(h, w)
     padded = jnp.pad(images, ((0, 0), (0, 0), (pt, pb), (plft, prt)))
@@ -325,14 +346,21 @@ def _make_call(
     if with_grad:
         in_specs.append(full_spec)
         inputs.append(cot)
-        out_c = 2
-        out_spec = pl.BlockSpec(
-            (1, 2, ROWS, COLS), lambda ni, rbi, cbi, bounds: (ni, 0, rbi, cbi)
-        )
+        out_specs = [
+            pl.BlockSpec(
+                (1, 2, ROWS, COLS),
+                lambda ni, rbi, cbi, bounds: (ni, 0, rbi, cbi),
+            )
+        ]
+        out_shapes = [jax.ShapeDtypeStruct((n, 2, h, w), jnp.float32)]
         acc_shape = (2, ROWS, COLS)
+    elif with_jac:
+        out_specs = [full_spec, full_spec, full_spec]  # out, d/dx, d/dy
+        out_shapes = [jax.ShapeDtypeStruct((n, c, h, w), jnp.float32)] * 3
+        acc_shape = (3 * c, ROWS, COLS)
     else:
-        out_c = c
-        out_spec = full_spec
+        out_specs = [full_spec]
+        out_shapes = [jax.ShapeDtypeStruct((n, c, h, w), jnp.float32)]
         acc_shape = (c, ROWS, COLS)
 
     kernel = functools.partial(
@@ -344,6 +372,7 @@ def _make_call(
         pad_top=pt,
         pad_left=plft,
         with_grad=with_grad,
+        with_jac=with_jac,
         interpret=interpret,
     )
 
@@ -356,8 +385,8 @@ def _make_call(
         num_scalar_prefetch=1,
         grid=(n, rb_n, cb_n),
         in_specs=in_specs,
-        out_specs=[
-            out_spec,
+        out_specs=out_specs
+        + [
             pl.BlockSpec(
                 (n,), lambda ni, rbi, cbi, bounds: (0,),
                 memory_space=pltpu.SMEM,
@@ -366,16 +395,13 @@ def _make_call(
         scratch_shapes=scratch,
     )
 
-    out, cov = pl.pallas_call(
+    *outs, cov = pl.pallas_call(
         kernel,
-        out_shape=[
-            jax.ShapeDtypeStruct((n, out_c, h, w), jnp.float32),
-            jax.ShapeDtypeStruct((n,), jnp.float32),
-        ],
+        out_shape=out_shapes + [jax.ShapeDtypeStruct((n,), jnp.float32)],
         grid_spec=grid_spec,
         interpret=interpret,
     )(bounds, *inputs)
-    return out, cov
+    return (tuple(outs) if with_jac else outs[0]), cov
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -386,6 +412,19 @@ def grid_warp(
     (``xs``, ``ys``; each (N, H, W)), zeros padding. Returns the warped
     images (N, C, H, W) f32 and per-image uncovered-pixel counts (N,)."""
     return _make_call(images, xs, ys, None, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def grid_warp_jac(
+    images: Array, xs: Array, ys: Array, interpret: bool = False
+) -> Tuple[Tuple[Array, Array, Array], Array]:
+    """Forward warp that also emits the per-pixel coordinate Jacobian in
+    ONE banded pass: returns ((out, d/dxs, d/dys), cov), each (N, C, H, W).
+    Two extra VPU FMAs per tap versus re-running the whole
+    band/slab/selection machinery in a second gradient pass — the training
+    VJP saves the Jacobian planes and reduces them against the cotangent
+    elementwise (no second kernel launch)."""
+    return _make_call(images, xs, ys, None, interpret, with_jac=True)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

@@ -73,9 +73,12 @@ def _grid_sample_tpu(interpret: bool, images: Array, xs: Array, ys: Array):
 
     Returns (warped, per-image uncovered-pixel counts). The warped values'
     gradient w.r.t. the source images is never needed (the losses warp
-    *data* frames), so the backward pass is a second gather-free banded
-    kernel computing only the coordinate gradient — no scatter anywhere.
-    The coverage count is a diagnostic with zero gradient.
+    *data* frames), so no scatter exists anywhere. Under differentiation
+    the forward kernel emits the per-pixel coordinate Jacobian alongside
+    the values (two extra FMAs per tap) and the backward pass is a pure
+    elementwise cotangent contraction — the banded gather machinery runs
+    ONCE per warp instead of twice. The coverage count is a diagnostic
+    with zero gradient.
     """
     from monorec_tpu.ops.pallas.grid_warp import grid_warp
 
@@ -83,15 +86,17 @@ def _grid_sample_tpu(interpret: bool, images: Array, xs: Array, ys: Array):
 
 
 def _grid_sample_tpu_fwd(interpret, images, xs, ys):
-    return _grid_sample_tpu(interpret, images, xs, ys), (images, xs, ys)
+    from monorec_tpu.ops.pallas.grid_warp import grid_warp_jac
+
+    (out, jx, jy), cov = grid_warp_jac(images, xs, ys, interpret=interpret)
+    return (out, cov), (images, jx, jy)
 
 
 def _grid_sample_tpu_bwd(interpret, res, cots):
-    from monorec_tpu.ops.pallas.grid_warp import grid_warp_grad
-
-    images, xs, ys = res
+    images, jx, jy = res
     cot, _cov_cot = cots  # the coverage diagnostic carries no gradient
-    gx, gy = grid_warp_grad(images, xs, ys, cot, interpret=interpret)
+    gx = jnp.sum(cot * jx, axis=1)
+    gy = jnp.sum(cot * jy, axis=1)
     return jnp.zeros_like(images), gx, gy
 
 

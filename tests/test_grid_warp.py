@@ -249,3 +249,37 @@ def test_reprojection_loss_tpu_path_matches_xla():
     np.testing.assert_allclose(float(r_f32), float(r_xla), atol=1e-5)
     np.testing.assert_allclose(float(r_bf16), float(r_xla), atol=2e-3)
     assert float(cov) == 0.0  # smooth in-range depths: fully covered
+
+
+@pytest.mark.parametrize("kind", ["smooth", "edge"])
+def test_grid_warp_jac_matches_separate_passes(kind):
+    """The fused Jacobian forward equals the plain forward, and its planes
+    contracted with a cotangent equal the standalone gradient pass."""
+    from monorec_tpu.ops.pallas.grid_warp import (
+        grid_warp,
+        grid_warp_grad,
+        grid_warp_jac,
+    )
+
+    rng = np.random.default_rng(11)
+    imgs = jnp.asarray(
+        np.moveaxis(
+            rng.uniform(-0.5, 0.5, (N, H, W, C)).astype(np.float32), -1, 1
+        )
+    )
+    grids = _grids(kind)
+    xs = (np.asarray(grids[..., 0]) + 1.0) * W / 2.0 - 0.5
+    ys = (np.asarray(grids[..., 1]) + 1.0) * H / 2.0 - 0.5
+    xs, ys = jnp.asarray(xs), jnp.asarray(ys)
+    cot = jnp.asarray(rng.uniform(-1, 1, (N, C, H, W)).astype(np.float32))
+
+    ref, cov_ref = grid_warp(imgs, xs, ys, interpret=True)
+    (out, jx, jy), cov = grid_warp_jac(imgs, xs, ys, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(cov), np.asarray(cov_ref), atol=0)
+
+    gx_ref, gy_ref = grid_warp_grad(imgs, xs, ys, cot, interpret=True)
+    gx = jnp.sum(cot * jx, axis=1)
+    gy = jnp.sum(cot * jy, axis=1)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(gy), np.asarray(gy_ref), atol=2e-5)
