@@ -124,6 +124,7 @@ def reprojection_loss(
     border: int = 0,
     rng: Optional[jax.Array] = None,
     with_coverage: bool = False,
+    automask_errors: Optional[Array] = None,
 ):
     """Multi-frame photometric reprojection loss.
 
@@ -131,6 +132,9 @@ def reprojection_loss(
     pixels carry +inf (callers zero/mask them, as the reference does).
     ``with_coverage`` additionally returns the warp kernel's uncovered-pixel
     count (0 on the XLA sampler path) for observability.
+    ``automask_errors`` optionally supplies the precomputed identity-
+    reprojection errors (B, F, H, W); they depend only on the input frames,
+    so multi-scale callers hoist them out of the per-scale loop.
     """
     keyframe = data["keyframe"]
     b, h, w, c = keyframe.shape
@@ -160,8 +164,11 @@ def reprojection_loss(
     errors = jnp.where(invalid, INF, errors)
 
     if automasking:
-        e_nowarp = compute_errors(flat(frames + 0.5), flat(key)).reshape(b, f, h, w)
-        errors = jnp.where(e_nowarp < errors, INF, errors)
+        if automask_errors is None:
+            automask_errors = compute_errors(
+                flat(frames + 0.5), flat(key)
+            ).reshape(b, f, h, w)
+        errors = jnp.where(automask_errors < errors, INF, errors)
 
     if mono_auto:
         fm = data["frames"].shape[1]
@@ -203,6 +210,43 @@ def reprojection_loss(
         out = errors
     if with_coverage:
         return out, warp_cov
+    return out
+
+
+def identity_reprojection_errors(
+    data: Dict, use_mono: bool = True, use_stereo: bool = False
+) -> Array:
+    """Per-frame errors of the UN-warped source frames vs the keyframe
+    (the automasking comparison term, reference ``common_losses.py:80-83``).
+    Depends only on the inputs — scale-invariant, so multi-scale losses
+    compute it once. Returns (B, F, H, W)."""
+    keyframe = data["keyframe"]
+    b, h, w, c = keyframe.shape
+    frames, _, _ = _gather_frames(data, use_mono, use_stereo)
+    f = frames.shape[1]
+    key = jnp.broadcast_to((keyframe + 0.5)[:, None], frames.shape)
+    return compute_errors(
+        (frames + 0.5).reshape(b * f, h, w, c), key.reshape(b * f, h, w, c)
+    ).reshape(b, f, h, w)
+
+
+def tile_batch_for_scales(data: Dict, n_scales: int) -> Dict:
+    """Tile every array in the batch ``n_scales`` times along the batch axis
+    so all scales of a multi-scale loss run through ONE batched reprojection
+    (one warp-kernel program + one SSIM conv stack instead of one per
+    scale). Scale s of the stacked result lives at rows [s*B, (s+1)*B).
+    Only the keys the reprojection reads are tiled (tiling e.g. the cost
+    volume would waste hundreds of MB of HBM)."""
+    keys = (
+        "keyframe", "keyframe_pose", "keyframe_intrinsics",
+        "frames", "poses", "intrinsics",
+        "stereoframe", "stereoframe_pose", "stereoframe_intrinsics",
+    )
+    out = {}
+    for k in keys:
+        if k in data:
+            v = data[k]
+            out[k] = jnp.tile(v, (n_scales,) + (1,) * (v.ndim - 1))
     return out
 
 

@@ -25,9 +25,11 @@ import jax.numpy as jnp
 from monorec_tpu.losses.common import (
     compute_errors,
     edge_aware_smoothness_loss,
+    identity_reprojection_errors,
     reprojection_loss,
     selfsup_loss,
     sparse_depth_loss,
+    tile_batch_for_scales,
     upsample_nearest_to,
 )
 from monorec_tpu.utils import mask_mean
@@ -41,28 +43,51 @@ def _clamped_gt(data: Dict) -> Array:
 
 
 def depth_loss(data: Dict, alpha=None, roi=None, options=()) -> Dict[str, Array]:
-    """Stage-1 depth bootstrap loss (reference :9-47)."""
+    """Stage-1 depth bootstrap loss (reference :9-47).
+
+    All 4 scales are evaluated through ONE batched reprojection pass: the
+    upsampled predictions are stacked along the batch axis (scale-major) so
+    the warp kernel and the SSIM conv stack each run once per step instead
+    of once per scale, and the scale-invariant automasking errors are
+    computed once. Per-scale masked means are recovered by reshaping —
+    numerically identical to the per-scale formulation.
+    """
     use_stereo = "stereo" in options
     alpha = 0.5 if alpha is None else alpha
     gt = _clamped_gt(data)
-    h, w = gt.shape[1:3]
+    b, h, w = gt.shape[0:3]
+    preds = [
+        upsample_nearest_to(jnp.maximum(p, 0.0), h, w)
+        for p in data["predicted_inverse_depths"]
+    ]
+    s = len(preds)
 
     loss_dict = {}
     sdl_sum = 0.0
     md2l_sum = 0.0
-    cov_sum = 0.0
-    for i, pred in enumerate(data["predicted_inverse_depths"]):
-        pred = jnp.maximum(pred, 0.0)
-        pred = upsample_nearest_to(pred, h, w)
+    for i, pred in enumerate(preds):
         sdl = sparse_depth_loss(pred, gt, l2=False)
-        md2l, cov = selfsup_loss(
-            pred, data, scale=i, use_mono=True, use_stereo=use_stereo,
-            automasking=True, combine_frames="min", with_coverage=True,
-        )
         sdl_sum += sdl
-        md2l_sum += md2l
-        cov_sum += cov
         loss_dict[f"sdl_{i}"] = sdl
+
+    stacked_pred = jnp.concatenate(preds, axis=0)  # (S*B, H, W, 1)
+    tiled = tile_batch_for_scales(data, s)
+    am = identity_reprojection_errors(data, use_mono=True, use_stereo=use_stereo)
+    r_map, cov_sum = reprojection_loss(
+        stacked_pred, tiled, automasking=True, use_mono=True,
+        use_stereo=use_stereo, reduce=False, combine_frames="min",
+        automask_errors=jnp.tile(am, (s, 1, 1, 1)), with_coverage=True,
+    )
+    invalid = jnp.isinf(r_map).reshape(s, b, h, w)
+    r_map = jnp.where(jnp.isinf(r_map), 0.0, r_map).reshape(s, b, h, w)
+
+    for i, pred in enumerate(preds):
+        r = mask_mean(r_map[i], invalid[i])
+        r = jnp.where(jnp.isnan(r), 0.0, r)
+        sm = edge_aware_smoothness_loss(pred, data["keyframe"])
+        sm = jnp.where(jnp.isnan(sm), 0.0, sm)
+        md2l = r + sm * 1e-3 / (2**i)
+        md2l_sum += md2l
         loss_dict[f"md2l_{i}"] = md2l
 
     loss_dict["loss"] = 2 * alpha * 4 * sdl_sum + 2 * (1 - alpha) * md2l_sum

@@ -128,8 +128,11 @@ def _bounds_clip(height: int, width: int) -> Tuple[int, int, int, int]:
 def _compute_bounds(
     xs: Array, ys: Array, height: int, width: int
 ) -> Array:
-    """Per-block integer displacement bases (N*RB*CB, 2) int32, from the min
-    displacement over each block's in-image ("hinted") pixels."""
+    """Per-block integer displacement bases (2, N*RB*CB) int32, from the min
+    displacement over each block's in-image ("hinted") pixels. Laid out
+    coordinate-major: SMEM pads every leading-dim row, so (NB, 2) would
+    burn ~512 B per block and blow the 1 MB SMEM budget at ~2k blocks
+    (a 4-scale-stacked loss warp is 6k blocks); (2, NB) is two rows."""
     n, h, w = xs.shape
     rb, cb = h // ROWS, w // COLS
     rows = jnp.arange(h, dtype=xs.dtype)[None, :, None]
@@ -143,11 +146,13 @@ def _compute_bounds(
     by_lo, by_hi, bx_lo, bx_hi = _bounds_clip(height, width)
     by = jnp.clip(jnp.floor(dy_min), by_lo, by_hi).astype(jnp.int32)
     bx = jnp.clip(jnp.floor(dx_min), bx_lo, bx_hi).astype(jnp.int32)
-    return jnp.stack([by, bx], axis=-1).reshape(n * rb * cb, 2)
+    return jnp.stack(
+        [by.reshape(n * rb * cb), bx.reshape(n * rb * cb)], axis=0
+    )
 
 
 def _warp_kernel(
-    bounds_ref,  # SMEM (N*RB*CB, 2): per-block (by, bx)
+    bounds_ref,  # SMEM (2, N*RB*CB): row 0 = per-block by, row 1 = bx
     band00_ref, band01_ref, band10_ref, band11_ref,  # source bands
     x_ref, y_ref,  # (1, ROWS, COLS) absolute pixel coords
     cot_ref_or_out,  # bwd: cot (1, C, ROWS, COLS); fwd: out (1, C, ROWS, COLS)
@@ -179,8 +184,8 @@ def _warp_kernel(
     x0 = cbi * COLS
 
     flat = (n * rb_n + rbi) * cb_n + cbi
-    by = bounds_ref[flat, 0]
-    bx = bounds_ref[flat, 1]
+    by = bounds_ref[0, flat]
+    bx = bounds_ref[1, flat]
     byf = by.astype(jnp.float32)
     bxf = bx.astype(jnp.float32)
 
@@ -321,8 +326,8 @@ def _make_call(
 
     def band_index(ni, rbi, cbi, bounds_ref, dr, dl):
         flat = (ni * rb_n + rbi) * cb_n + cbi
-        ry = (rbi * ROWS + bounds_ref[flat, 0] + pt) // BAND_H
-        lx = (cbi * COLS + bounds_ref[flat, 1] + plft) // BAND_W
+        ry = (rbi * ROWS + bounds_ref[0, flat] + pt) // BAND_H
+        lx = (cbi * COLS + bounds_ref[1, flat] + plft) // BAND_W
         ry = jnp.clip(ry + dr, 0, n_row_bands - 1)
         lx = jnp.clip(lx + dl, 0, n_lane_bands - 1)
         return (ni, 0, ry, lx)
