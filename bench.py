@@ -38,7 +38,17 @@ def main():
     # relative, ~1.6x faster sweep). BENCH_WARP_DTYPE=float32 measures the
     # exact-parity path instead.
     warp_dtype = os.environ.get("BENCH_WARP_DTYPE", "bfloat16")
-    model = MonoRec(MonoRecConfig(cv_depth_steps=32, cv_warp_dtype=warp_dtype))
+    # bf16 conv compute in the Mask/Depth U-Nets (params stay f32): runs the
+    # decoder convs on the MXU at ~2x f32 rate. BENCH_COMPUTE_DTYPE=float32
+    # measures the exact-parity path.
+    compute_dtype = os.environ.get("BENCH_COMPUTE_DTYPE", "bfloat16")
+    model = MonoRec(
+        MonoRecConfig(
+            cv_depth_steps=32,
+            cv_warp_dtype=warp_dtype,
+            compute_dtype=compute_dtype,
+        )
+    )
     batch = _make_batch(batch_size, 256, 512, 2, stereo=False, mask=False)
 
     variables = jax.jit(

@@ -37,6 +37,7 @@ _MODEL_CONFIG_KEYS = {
     "use_ssim", "sfcv_mult_mask", "simple_mask", "mask_use_cv",
     "mask_use_feats", "cv_patch_size", "depth_large_model", "no_cv",
     "freeze_resnet", "freeze_module", "resnet_layers", "cv_warp_dtype",
+    "compute_dtype",
 }
 
 _LOADER_KEYS = {"batch_size", "shuffle", "validation_split", "num_workers", "drop_last"}

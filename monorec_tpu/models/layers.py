@@ -12,7 +12,7 @@ All activations are LeakyReLU(0.1) as in the reference.
 from __future__ import annotations
 
 import math
-from typing import Tuple, Union
+from typing import Any, Optional, Tuple, Union
 
 import flax.linen as nn
 import jax
@@ -44,11 +44,17 @@ def pad_same(x: Array, kernel: IntPair, stride: IntPair = 1) -> Array:
 
 
 class SamePadConv(nn.Module):
-    """Explicit TF-"same" pad followed by a VALID conv (no activation)."""
+    """Explicit TF-"same" pad followed by a VALID conv (no activation).
+
+    ``dtype`` is the computation dtype (params stay f32): bf16 runs the
+    conv on the MXU at twice the f32 throughput — the serving/mixed-
+    precision path, threaded down from ``MonoRecConfig.compute_dtype``.
+    """
 
     features: int
     kernel_size: IntPair
     stride: IntPair = 1
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -58,6 +64,7 @@ class SamePadConv(nn.Module):
             kernel_size=_pair(self.kernel_size),
             strides=_pair(self.stride),
             padding="VALID",
+            dtype=self.dtype,
         )(x)
 
 
@@ -68,10 +75,13 @@ class ConvLReLU(nn.Module):
     kernel_size: IntPair
     stride: IntPair = 1
     neg_slope: float = 0.1
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        x = SamePadConv(self.features, self.kernel_size, self.stride)(x)
+        x = SamePadConv(
+            self.features, self.kernel_size, self.stride, dtype=self.dtype
+        )(x)
         return nn.leaky_relu(x, self.neg_slope)
 
 
@@ -87,12 +97,19 @@ class SeparableConvLReLU(nn.Module):
     kernel_size: int
     stride: int = 1
     neg_slope: float = 0.1
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        x = SamePadConv(self.features, (self.kernel_size, 1), (self.stride, 1))(x)
+        x = SamePadConv(
+            self.features, (self.kernel_size, 1), (self.stride, 1),
+            dtype=self.dtype,
+        )(x)
         x = nn.leaky_relu(x, self.neg_slope)
-        x = SamePadConv(self.features, (1, self.kernel_size), (1, self.stride))(x)
+        x = SamePadConv(
+            self.features, (1, self.kernel_size), (1, self.stride),
+            dtype=self.dtype,
+        )(x)
         return nn.leaky_relu(x, self.neg_slope)
 
 
@@ -107,11 +124,12 @@ class Upconv(nn.Module):
     """2x nearest upsample + same-pad k=2 conv (reference ``Upconv``)."""
 
     features: int
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
         x = upsample_nearest_2x(x)
-        return SamePadConv(self.features, 2, 1)(x)
+        return SamePadConv(self.features, 2, 1, dtype=self.dtype)(x)
 
 
 class Refine(nn.Module):
@@ -124,11 +142,13 @@ class Refine(nn.Module):
 
     features: int
     neg_slope: float = 0.1
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
         x = nn.ConvTranspose(
-            self.features, kernel_size=(4, 4), strides=(2, 2), padding="VALID"
+            self.features, kernel_size=(4, 4), strides=(2, 2), padding="VALID",
+            dtype=self.dtype,
         )(x)
         x = nn.leaky_relu(x, self.neg_slope)
         return x[:, 1:-1, 1:-1, :]

@@ -14,7 +14,7 @@ the (stop-gradient) depth prediction.
 
 from __future__ import annotations
 
-from typing import List, Sequence
+from typing import Any, List, Optional, Sequence
 
 import flax.linen as nn
 import jax
@@ -32,6 +32,7 @@ class _CVEncoder(nn.Module):
     """Five-stage encoder over a cost volume; returns all stage features."""
 
     in_channels: int
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x: Array) -> List[Array]:
@@ -40,8 +41,8 @@ class _CVEncoder(nn.Module):
         for i, ch in enumerate(chans):
             if i > 0:
                 x = max_pool_2x2(x)
-            x = ConvLReLU(ch, 3, name=f"enc{i}a")(x)
-            x = ConvLReLU(ch, 3, name=f"enc{i}b")(x)
+            x = ConvLReLU(ch, 3, dtype=self.dtype, name=f"enc{i}a")(x)
+            x = ConvLReLU(ch, 3, dtype=self.dtype, name=f"enc{i}b")(x)
             feats.append(x)
         return feats
 
@@ -49,41 +50,47 @@ class _CVEncoder(nn.Module):
 class _MaskDecoder(nn.Module):
     """Decoder with CV-feature and image-feature skip connections."""
 
+    dtype: Optional[Any] = None
+
     @nn.compact
     def __call__(self, cv_feats: Sequence[Array], image_features: Sequence[Array]) -> Array:
+        if self.dtype is not None:
+            image_features = [f.astype(self.dtype) for f in image_features]
         # dec0: H/16 -> H/8; first Upconv consumes resnet layer3 features too.
         x = jnp.concatenate([cv_feats[4], image_features[3]], axis=-1)
-        x = Upconv(_DEC_CH[0], name="up0")(x)
+        x = Upconv(_DEC_CH[0], dtype=self.dtype, name="up0")(x)
         x = jnp.concatenate([cv_feats[3], image_features[2], x], axis=-1)
-        x = ConvLReLU(_DEC_CH[0], 3, name="dec0a")(x)
-        x = ConvLReLU(_DEC_CH[0], 3, name="dec0b")(x)
+        x = ConvLReLU(_DEC_CH[0], 3, dtype=self.dtype, name="dec0a")(x)
+        x = ConvLReLU(_DEC_CH[0], 3, dtype=self.dtype, name="dec0b")(x)
 
         # dec1: H/8 -> H/4.
-        x = Upconv(_DEC_CH[0], name="up1")(x)
+        x = Upconv(_DEC_CH[0], dtype=self.dtype, name="up1")(x)
         x = jnp.concatenate([cv_feats[2], image_features[1], x], axis=-1)
-        x = ConvLReLU(_DEC_CH[1], 3, name="dec1a")(x)
-        x = ConvLReLU(_DEC_CH[1], 3, name="dec1b")(x)
+        x = ConvLReLU(_DEC_CH[1], 3, dtype=self.dtype, name="dec1a")(x)
+        x = ConvLReLU(_DEC_CH[1], 3, dtype=self.dtype, name="dec1b")(x)
 
         # dec2: H/4 -> H/2.
-        x = Upconv(_DEC_CH[1], name="up2")(x)
+        x = Upconv(_DEC_CH[1], dtype=self.dtype, name="up2")(x)
         x = jnp.concatenate([cv_feats[1], image_features[0], x], axis=-1)
-        x = ConvLReLU(_DEC_CH[2], 3, name="dec2a")(x)
-        x = ConvLReLU(_DEC_CH[2], 3, name="dec2b")(x)
+        x = ConvLReLU(_DEC_CH[2], 3, dtype=self.dtype, name="dec2a")(x)
+        x = ConvLReLU(_DEC_CH[2], 3, dtype=self.dtype, name="dec2b")(x)
 
         # dec3: H/2 -> H (CV skip only).
-        x = Upconv(_DEC_CH[2], name="up3")(x)
+        x = Upconv(_DEC_CH[2], dtype=self.dtype, name="up3")(x)
         x = jnp.concatenate([cv_feats[0], x], axis=-1)
-        x = ConvLReLU(_DEC_CH[3], 3, name="dec3a")(x)
-        x = ConvLReLU(_DEC_CH[3], 3, name="dec3b")(x)
+        x = ConvLReLU(_DEC_CH[3], 3, dtype=self.dtype, name="dec3a")(x)
+        x = ConvLReLU(_DEC_CH[3], 3, dtype=self.dtype, name="dec3b")(x)
 
-        x = nn.Conv(1, (1, 1), name="classifier")(x)
-        return nn.sigmoid(x)
+        x = nn.Conv(1, (1, 1), dtype=self.dtype, name="classifier")(x)
+        # The mask gates the cost volume and feeds the losses in f32.
+        return nn.sigmoid(x).astype(jnp.float32)
 
 
 class MaskModule(nn.Module):
     depth_steps: int = 32
     use_cv: bool = True
     use_features: bool = True
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(
@@ -97,7 +104,9 @@ class MaskModule(nn.Module):
         if not self.use_features:
             image_features = [f * 0.0 for f in image_features]
 
-        encoder = _CVEncoder(self.depth_steps, name="cv_encoder")
+        if self.dtype is not None:
+            single_frame_cvs = single_frame_cvs.astype(self.dtype)
+        encoder = _CVEncoder(self.depth_steps, dtype=self.dtype, name="cv_encoder")
         n_frames = single_frame_cvs.shape[1]
 
         fused: List[Array] = []
@@ -111,11 +120,12 @@ class MaskModule(nn.Module):
         dropout = nn.Dropout(rate=0.5, deterministic=not train)
         fused = [dropout(f) for f in fused]
 
-        return _MaskDecoder(name="decoder")(fused, image_features)
+        return _MaskDecoder(dtype=self.dtype, name="decoder")(fused, image_features)
 
 
 class SimpleMaskModule(nn.Module):
     depth_steps: int = 32
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(
@@ -135,5 +145,9 @@ class SimpleMaskModule(nn.Module):
             [cv_avg, keyframe, jax.lax.stop_gradient(predicted_inverse_depth)],
             axis=-1,
         )
-        feats = _CVEncoder(self.depth_steps + 3 + 1, name="cv_encoder")(x)
-        return _MaskDecoder(name="decoder")(feats, image_features)
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+        feats = _CVEncoder(
+            self.depth_steps + 3 + 1, dtype=self.dtype, name="cv_encoder"
+        )(x)
+        return _MaskDecoder(dtype=self.dtype, name="decoder")(feats, image_features)

@@ -82,6 +82,12 @@ class MonoRecConfig:
     # verified ≪ the 1% parity budget). TPU-only knob; the XLA fallback
     # path ignores it.
     cv_warp_dtype: str = "float32"
+    # Computation dtype of the Mask/Depth U-Net convs (params stay f32).
+    # "bfloat16" runs them on the MXU at ~2x f32 throughput — the
+    # recommended TPU serving configuration; "float32" (default) is the
+    # exact reference-parity path. The ResNet encoder (1.5 ms) and all
+    # losses/metrics stay f32 either way.
+    compute_dtype: str = "float32"
 
     def cv_config(self) -> CostVolumeConfig:
         return CostVolumeConfig(
@@ -126,16 +132,20 @@ class MonoRec(nn.Module):
 
     def setup(self):
         cfg = self.config
+        dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
         self.encoder = ResNetEncoder(cfg.resnet_layers)
         if cfg.has_mask_module:
             if cfg.simple_mask:
-                self.att = SimpleMaskModule(cfg.cv_depth_steps)
+                self.att = SimpleMaskModule(cfg.cv_depth_steps, dtype=dtype)
             else:
                 self.att = MaskModule(
-                    cfg.cv_depth_steps, cfg.mask_use_cv, cfg.mask_use_feats
+                    cfg.cv_depth_steps, cfg.mask_use_cv, cfg.mask_use_feats,
+                    dtype=dtype,
                 )
         if cfg.has_depth_module:
-            self.depth_net = DepthModule(cfg.cv_depth_steps, cfg.depth_large_model)
+            self.depth_net = DepthModule(
+                cfg.cv_depth_steps, cfg.depth_large_model, dtype=dtype
+            )
 
     # ----- submodule entry points (used by the stage 2-4 protocol) -----
 

@@ -159,3 +159,23 @@ def test_stereo_frames_enter_cost_volume(batch):
         MonoRecConfig(cv_depth_steps=D, pretrain_mode=3, use_stereo=True), batch
     )
     assert out["single_frame_cvs"].shape == (B, F + 1, H, W, D)
+
+
+def test_bfloat16_compute_dtype_close_to_f32(batch):
+    """compute_dtype="bfloat16" runs the Mask/Depth U-Net convs in bf16
+    (params stay f32) and must track the exact f32 path closely; outputs
+    are re-cast so downstream losses/metrics always see f32."""
+    model32 = MonoRec(MonoRecConfig(cv_depth_steps=D))
+    model16 = MonoRec(MonoRecConfig(cv_depth_steps=D, compute_dtype="bfloat16"))
+
+    @jax.jit
+    def run_both(b):
+        variables = model32.init({"params": jax.random.PRNGKey(0)}, b, False)
+        return model32.apply(variables, b, False), model16.apply(variables, b, False)
+
+    o32, o16 = run_both(batch)
+    for key in ("result", "cv_mask"):
+        a, c = np.asarray(o32[key]), np.asarray(o16[key])
+        assert c.dtype == np.float32
+        scale = np.abs(a).mean()
+        assert np.abs(a - c).mean() / scale < 2e-2, key
