@@ -198,3 +198,18 @@ def test_all_shipped_configs_build():
             get_metric(m)
         if "optimizer" in cfg:
             make_optimizer(cfg["optimizer"], cfg.get("lr_scheduler"), 10)
+
+
+def test_build_model_config_compute_dtype():
+    """The mixed-precision knob round-trips from a reference-style arch
+    args dict into MonoRecConfig."""
+    from monorec_tpu.config.parser import build_model_config
+
+    mc, _ = build_model_config(
+        {"cv_depth_steps": 8, "compute_dtype": "bfloat16",
+         "cv_warp_dtype": "bfloat16"}
+    )
+    assert mc.compute_dtype == "bfloat16"
+    assert mc.cv_warp_dtype == "bfloat16"
+    mc, _ = build_model_config({"cv_depth_steps": 8})
+    assert mc.compute_dtype == "float32"
