@@ -62,12 +62,19 @@ from monorec_tpu.ops.pallas.slab import (
 
 Array = jax.Array
 
-ROWS = 16  # output rows per program
+import os as _os
+
+# Output rows per program. 16 (default) doubles the program count but keeps
+# bands at 64 rows; 32 halves per-program overhead, slab-build matmuls and
+# band DMA per output pixel at the cost of 128-row bands (more VMEM).
+# Experiment knob (read once at import): MONOREC_GW_ROWS=32.
+ROWS = int(_os.environ.get("MONOREC_GW_ROWS", "16"))
+assert ROWS in (16, 32), ROWS
 COLS = 128  # output cols per program
-BAND_H = 64  # row-band granularity: the 128-row slab gives KY=48 row taps
+BAND_H = 4 * ROWS  # row-band granularity: the 2-band slab gives KY=48 taps
 PAD_Y = 48  # top padding (the bottom pad grows to fill whole bands)
 KY = 48  # row tap window: within-block dy spread incl. depth-edge jumps
-PY_N = 64  # row-permutation rows (>= KY + ROWS - 1, multiple of 8)
+PY_N = KY + ROWS  # row-permutation rows (>= KY + ROWS - 1, multiple of 8)
 # Residual lane taps after the per-lane shear. The shear absorbs across-lane
 # (vertical-edge) disparity jumps up to XSH_MAX; ACROSS-ROW jumps
 # (horizontal depth edges) land in the residual window, so R_MAX bounds the

@@ -158,3 +158,66 @@ def test_xla_path_coverage_is_zero():
         *args, CostVolumeConfig(depth_steps=4), backend="xla", return_coverage=True
     )
     assert np.all(np.asarray(cov) == 0.0)
+
+
+def test_grid_warp_rows32_geometry_matches_gather(tmp_path):
+    """MONOREC_GW_ROWS=32 (halved program count, 128-row bands) must produce
+    the same warp as the default geometry's bilinear-gather semantics. The
+    knob is read at module import, so the variant runs in a subprocess."""
+    import os
+    import subprocess
+    import sys
+    import textwrap
+
+    script = textwrap.dedent(
+        """
+        import os
+        os.environ["MONOREC_GW_ROWS"] = "32"
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        import jax.numpy as jnp
+        import numpy as np
+        from monorec_tpu.ops.pallas import grid_warp as gw
+
+        assert gw.ROWS == 32 and gw.BAND_H == 128 and gw.PY_N == 80
+        rng = np.random.default_rng(0)
+        N, C, H, W = 1, 2, 32, 128
+        img = jnp.asarray(rng.uniform(-1, 1, (N, C, H, W)).astype(np.float32))
+        yy, xx = np.meshgrid(
+            np.arange(H, dtype=np.float32), np.arange(W, dtype=np.float32),
+            indexing="ij",
+        )
+        xs = np.tile(xx[None] + 2.3, (N, 1, 1))
+        ys = np.tile(yy[None] - 1.7, (N, 1, 1))
+        xs[:, 8:16, 30:60] += 25.0
+        ys[:, 8:16, 30:60] += 18.0
+        xs, ys = jnp.asarray(xs), jnp.asarray(ys)
+        out, cov = gw.grid_warp(img, xs, ys, interpret=True)
+
+        x0 = jnp.floor(xs); y0 = jnp.floor(ys)
+        wx1 = xs - x0; wy1 = ys - y0
+        def tap(iy, ix):
+            iyc = iy.astype(jnp.int32); ixc = ix.astype(jnp.int32)
+            inb = (iyc >= 0) & (iyc < H) & (ixc >= 0) & (ixc < W)
+            v = img[0][:, jnp.clip(iyc[0], 0, H - 1), jnp.clip(ixc[0], 0, W - 1)]
+            return (v * inb[0][None])[None]
+        ref = (
+            tap(y0, x0) * ((1 - wy1) * (1 - wx1))[:, None]
+            + tap(y0, x0 + 1) * ((1 - wy1) * wx1)[:, None]
+            + tap(y0 + 1, x0) * (wy1 * (1 - wx1))[:, None]
+            + tap(y0 + 1, x0 + 1) * (wy1 * wx1)[:, None]
+        )
+        assert float(jnp.abs(out - ref).max()) < 1e-5
+        assert float(cov.sum()) == 0.0
+        print("OK")
+        """
+    )
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    r = subprocess.run(
+        [sys.executable, "-c", script], capture_output=True, text=True,
+        env=env, timeout=900,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "OK" in r.stdout
