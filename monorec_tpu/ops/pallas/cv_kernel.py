@@ -13,11 +13,12 @@ an extended block with a 2-pixel halo and computes the photometric score
   two endpoint hypotheses;
 * ONE row-aligned band slab (an exact one-hot permutation matmul) is shared
   by all ``dchunk`` hypotheses; the x displacement profile — which varies by
-  tens of pixels across a block under forward motion (zoom about the FOE) —
-  is absorbed by a PER-LANE integer shear folded into the lane-selection
-  one-hots: each of the (dynamically few) sheared slabs is a single MXU
-  matmul (bf16 hi/lo two-pass, ~1e-5 relative), and the bilinear tap loop
-  only covers the per-lane residual (fraction + inter-depth drift), reading
+  tens of pixels across a block under forward motion (zoom about the FOE)
+  and by ~12 px across the chunk's hypotheses at near depths — is absorbed
+  by PER-DEPTH PER-LANE integer shears folded into the lane-selection
+  one-hots: each sheared slab is a single MXU matmul (bf16 hi/lo two-pass,
+  ~1e-5 relative), and the bilinear tap loop only covers the per-lane
+  residual (fraction + rotation-induced row variation, R_PD taps), reading
   the sheared slabs back at static offsets — no rolls, no per-tap branches;
 * the warped block (C, ROWS+4, COLS+4) never leaves VMEM: SSIM
   (3x3 uniform window, reflect padding at image borders — replicated by an
@@ -74,11 +75,14 @@ KY = 14  # row tap window (union over the depth chunk; 14 covers the
 # worst rigid-motion union spread: ~7 px within-block + ~4 px inter-depth
 # + 2 bilinear/floor margin, verified on the tz=0.8 pose in tpu_checks)
 PY_N = 40  # row-permutation output rows (>= KY + ROWS_E - 1, mult of 8)
-R_MAX = 16  # residual lane taps after the per-lane shear (fraction +
-# inter-depth drift, up to ~12 px at near depths under tz~0.8 + margin)
+R_PD = 6  # residual lane taps after the PER-DEPTH per-lane shear: the
+# bilinear fraction (2) + within-block row variation of the x displacement
+# (exactly 0 for pure translation — the homography's x row is then
+# row-independent — and a few px under KITTI-scale rotations) + margin.
+# Inter-depth drift no longer enters: each hypothesis carries its own shear.
 # Largest per-lane shear that keeps every sheared read inside the 512-lane
 # slab: src = dst + off_x + xsh + s <= 511.
-XSH_MAX = (2 * BAND_W - 1) - (BAND_W - 1) - (COLS_E - 1) - (R_MAX - 1)
+XSH_MAX = (2 * BAND_W - 1) - (BAND_W - 1) - (COLS_E - 1) - (R_PD - 1)
 
 _C1 = 0.01**2
 _C2 = 0.03**2
@@ -126,8 +130,8 @@ def _sad_kernel(
     kst_s,  # scratch (2C, ROWS+2, COLS+2): box3(k), box3(k*k)
     acc_s,  # scratch (dchunk, C, ROWS_E, COLS_E): warp accumulators
     macc_s,  # scratch (dchunk, 2, ROWS_E, COLS_E): border-mask accumulators
-    shear_s,  # scratch (R_MAX, C, PY_N, 256): sheared slabs
-    wx_s,  # scratch (R_MAX, dchunk, ROWS_E, COLS_E): x tap weights
+    shear_s,  # scratch (dchunk*R_PD, C, PY_N, 256): per-depth sheared slabs
+    wx_s,  # scratch (dchunk*R_PD, ROWS_E, COLS_E): x tap weights
     *,
     height: int,
     width: int,
@@ -176,14 +180,14 @@ def _sad_kernel(
     )
     in_img = (rows >= 0) & (rows < height) & (cols >= 0) & (cols < width)
 
-    # --- per-depth displacements + the per-lane x shear -------------------
+    # --- per-depth displacements + the per-depth per-lane x shears --------
     # The x displacement of rigid plane-sweep motion varies mostly along x
     # (forward motion = zoom about the FOE) — a uniform lane base would need
-    # up to ~50 taps per block at near depths. Instead a PER-LANE integer
-    # shift (the "shear") absorbs that profile: the shear is folded into the
-    # lane-selection one-hot, so each of the R_MAX sheared slabs is one MXU
-    # matmul, and the tap loop only covers the per-lane residual (fraction +
-    # inter-depth drift + rotation-induced row variation).
+    # up to ~50 taps per block at near depths. A PER-LANE integer shift (the
+    # "shear") absorbs that profile, folded into the lane-selection one-hot
+    # so each sheared slab is one MXU matmul; giving each hypothesis its OWN
+    # shear also absorbs the chunk's inter-depth drift, leaving only the
+    # bilinear fraction + rotation-induced row variation in the tap loop.
     dxs, dys, his = [], [], []
     any_hint = jnp.bool_(False)
     for dd in range(dchunk):
@@ -199,29 +203,30 @@ def _sad_kernel(
 
     pos = jnp.float32(1e9)
     neg = -pos
-    # Per-lane shear from the chunk's endpoint hypotheses (displacement is
-    # monotonic in inverse depth, so interiors lie between the endpoint
-    # VALUES per pixel — the min must run over pixels hinted at ANY depth,
-    # since a mid-depth pixel can be in-image while both endpoints are not).
-    any_hi = his[0]
-    for hh in his[1:]:
-        any_hi = any_hi | hh
-    end_min = jnp.where(any_hi, jnp.minimum(dxs[0], dxs[-1]), pos)
-    xsh = jnp.min(end_min, axis=0, keepdims=True) - bxf  # (1, COLS_E)
-    xsh = jnp.clip(jnp.floor(xsh), 0.0, float(XSH_MAX)).astype(jnp.int32)
-    xshf = xsh.astype(jnp.float32)
-
-    fys, fxrs = [], []
+    # PER-DEPTH per-lane shears: each hypothesis' own lane profile (min over
+    # its own hinted pixels per lane) is absorbed into its own selection
+    # one-hot, so the residual tap window only spans the bilinear fraction +
+    # in-block variation (R_PD taps) instead of fraction + the chunk's
+    # inter-depth drift (up to ~12 px at near depths under forward motion —
+    # the round-2 shared-shear design paid sy_hi*~14 taps x dchunk
+    # accumulates there; this pays sy_hi*~4 x dchunk).
+    fys, fxrs, xshfs, r_his = [], [], [], []
     sy_hi = jnp.int32(0)
     r_hi = jnp.int32(0)
     for dd in range(dchunk):
+        hi = his[dd]
         fy = dys[dd] - byf
-        fxr = dxs[dd] - bxf - xshf  # residual after the per-lane shear
+        lane_min = jnp.min(jnp.where(hi, dxs[dd], pos), axis=0, keepdims=True)
+        xsh_dd = jnp.clip(
+            jnp.floor(lane_min - bxf), 0.0, float(XSH_MAX)
+        ).astype(jnp.int32)  # (1, COLS_E)
+        xshf = xsh_dd.astype(jnp.float32)
+        fxr = dxs[dd] - bxf - xshf  # residual after this depth's shear
         fys.append(fy)
         fxrs.append(fxr)
-        hi = his[dd]
+        xshfs.append((xsh_dd, xshf))
         uncov = hi & (
-            (fy > KY - 1.0) | (fy < 0.0) | (fxr > R_MAX - 1.0) | (fxr < 0.0)
+            (fy > KY - 1.0) | (fy < 0.0) | (fxr > R_PD - 1.0) | (fxr < 0.0)
         )
         d = dc * dchunk + dd
 
@@ -236,9 +241,9 @@ def _sad_kernel(
         sy_hi = jnp.maximum(
             sy_hi, jnp.clip(jnp.floor(fy_max).astype(jnp.int32) + 2, 0, KY)
         )
-        r_hi = jnp.maximum(
-            r_hi, jnp.clip(jnp.floor(fxr_max).astype(jnp.int32) + 2, 0, R_MAX)
-        )
+        r_hi_dd = jnp.clip(jnp.floor(fxr_max).astype(jnp.int32) + 2, 0, R_PD)
+        r_his.append(r_hi_dd)
+        r_hi = jnp.maximum(r_hi, r_hi_dd)
 
     # --- row-aligned slab (shared by the whole chunk; machinery in
     # slab.py, shared with grid_warp.py) -----------------------------------
@@ -249,34 +254,50 @@ def _sad_kernel(
         off_y, PY_N, interpret,
     )
 
-    # Base index map for the sheared one-hots: src = dst + off_x + xsh[dst].
+    # Base index maps for the sheared one-hots, one per hypothesis:
+    # src = dst + off_x + xsh_dd[dst].
     lane_src, lane_dst = lane_iotas(256)
-    xsh_full = jnp.pad(xsh, ((0, 0), (0, 256 - COLS_E)))
-    shear_base = lane_dst + off_x + xsh_full  # (512, 256) via broadcast
+    shear_bases = []
+    for dd in range(dchunk):
+        xsh_dd, _ = xshfs[dd]
+        xsh_full = jnp.pad(xsh_dd, ((0, 0), (0, 256 - COLS_E)))
+        shear_bases.append(lane_dst + off_x + xsh_full)  # (512, 256)
 
     acc_s[...] = jnp.zeros(acc_s.shape, jnp.float32)
     macc_s[...] = jnp.zeros(macc_s.shape, jnp.float32)
 
-    # --- phase A: sheared slabs + x weights + x border interp -------------
-    for s in range(R_MAX):
+    # --- phase A: per-depth sheared slabs + x weights + x border interp ----
+    # Scratch is flat (dchunk*R_PD, ...) so phase B can index it with one
+    # dynamic leading index (the proven-safe Mosaic pattern). The weights
+    # are written under the SHARED bound r_hi: for s in [r_hi_dd, r_hi) the
+    # hat weight is exactly zero for every pixel of depth dd (s >=
+    # floor(fxr_max)+2), so phase B's reads of that depth's stale slab
+    # slots are annihilated; only the expensive selection matmul is guarded
+    # by the per-depth bound.
+    for s in range(R_PD):
         sf = float(s)
 
         @pl.when(any_hint & (s < r_hi))
         def _(s=s, sf=sf):
-            shear_s[s] = select_lanes(
-                slab_hi, slab_lo, lane_src, shear_base, s, shear_dtype
-            )  # (C, PY_N, 256)
-
-            tx = cols + bxf + xshf + sf
-            ind_x = (
-                (tx >= border_radius) & (tx < width - border_radius)
-            ).astype(jnp.float32)
             for dd in range(dchunk):
+                tx = cols + bxf + xshfs[dd][1] + sf
+                ind_x = (
+                    (tx >= border_radius) & (tx < width - border_radius)
+                ).astype(jnp.float32)
                 wx = jnp.clip(1.0 - jnp.abs(fxrs[dd] - sf), 0.0, 1.0)
-                wx_s[s, dd] = wx
+                wx_s[dd * R_PD + s] = wx
                 macc_s[dd, 1] += wx * ind_x
 
-    # --- phase B: banded y taps over the sheared slabs --------------------
+        for dd in range(dchunk):
+
+            @pl.when(any_hint & (s < r_his[dd]))
+            def _(s=s, dd=dd):
+                shear_s[dd * R_PD + s] = select_lanes(
+                    slab_hi, slab_lo, lane_src, shear_bases[dd], s,
+                    shear_dtype,
+                )  # (C, PY_N, 256)
+
+    # --- phase B: banded y taps over the per-depth sheared slabs ----------
     for sy in range(KY):
         syf = float(sy)
 
@@ -293,9 +314,12 @@ def _sad_kernel(
                 macc_s[dd, 0] += wy * ind_y
 
             def sbody(s, _):
-                src = shear_s[s, :, sy : sy + ROWS_E, :COLS_E]
+                # r_hi = max over depths; taps past a depth's own r_hi have
+                # zero hat weight (and read a stale-but-finite slab slot),
+                # so no per-depth predication is needed in the body.
                 for dd in range(dchunk):
-                    acc_s[dd] += (wys[dd] * wx_s[s, dd])[None] * src
+                    src = shear_s[dd * R_PD + s, :, sy : sy + ROWS_E, :COLS_E]
+                    acc_s[dd] += (wys[dd] * wx_s[dd * R_PD + s])[None] * src
                 return 0
 
             jax.lax.fori_loop(0, r_hi, sbody, 0)
@@ -384,11 +408,11 @@ def plane_sweep_sad(
     assert n == b * frames_per_image, (n, b, frames_per_image)
     assert len(channel_weights) == c
 
-    # Depth hypotheses per program: the chunk shares one slab + one set of
-    # sheared one-hots, but the residual tap window must absorb the chunk's
-    # inter-depth drift, which scales with dchunk/(d-1) of the full sweep
-    # range — so small-D sweeps (coarse hypothesis spacing) use smaller
-    # chunks to keep the residual inside R_MAX.
+    # Depth hypotheses per program: the chunk shares one row-aligned slab
+    # (and the band DMA), so the shared ROW base must absorb the chunk's
+    # inter-depth y drift inside KY — small-D sweeps (coarse hypothesis
+    # spacing) use smaller chunks to keep that drift bounded. The LANE
+    # residual is per-depth (own shear) and does not constrain dchunk.
     if d % 4 == 0 and d >= 24:
         dchunk = 4
     elif d % 2 == 0 and d >= 12:
@@ -480,8 +504,8 @@ def plane_sweep_sad(
             pltpu.VMEM((2 * c, ROWS + 2, COLS + 2), jnp.float32),
             pltpu.VMEM((dchunk, c, ROWS_E, COLS_E), jnp.float32),
             pltpu.VMEM((dchunk, 2, ROWS_E, COLS_E), jnp.float32),
-            pltpu.VMEM((R_MAX, c, PY_N, 256), jnp.float32),
-            pltpu.VMEM((R_MAX, dchunk, ROWS_E, COLS_E), jnp.float32),
+            pltpu.VMEM((dchunk * R_PD, c, PY_N, 256), jnp.float32),
+            pltpu.VMEM((dchunk * R_PD, ROWS_E, COLS_E), jnp.float32),
         ],
     )
 
