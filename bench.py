@@ -26,6 +26,25 @@ def main():
         "JAX_COMPILATION_CACHE_DIR",
         os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_tpu_cache"),
     )
+    # The axon TPU backend has transient outages (observed: 30+ min of
+    # UNAVAILABLE after a killed TPU process); don't let one turn a bench
+    # run into a recorded failure. A failed init is cached for the life of
+    # a process, so probe in a SUBPROCESS and only import jax here once a
+    # probe succeeds (each blocked probe itself waits out part of the
+    # outage before erroring, so this self-paces).
+    import subprocess
+
+    for attempt in range(5):
+        probe = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            capture_output=True, text=True,
+        )
+        if probe.returncode == 0:
+            break
+        _note(f"TPU backend unavailable (attempt {attempt + 1}/5); "
+              "retrying in 120s")
+        time.sleep(120)
+
     import jax
     import jax.numpy as jnp
 

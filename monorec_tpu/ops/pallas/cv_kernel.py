@@ -50,7 +50,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from monorec_tpu.ops.pallas.slab import (
-    BAND_H,
     BAND_W,
     build_aligned_slab,
     lane_iotas,
@@ -68,12 +67,15 @@ COLS = 128  # output cols per block
 HALO = 2  # SSIM (1) + SAD box (1)
 ROWS_E = ROWS + 2 * HALO  # warped rows computed per block
 COLS_E = COLS + 2 * HALO
-# BAND_H / BAND_W come from slab.py (shared with grid_warp.py).
-PAD_Y = 160  # zero padding of the source image (multiple of BAND_H)
+# BAND_W comes from slab.py (shared with grid_warp.py); this kernel uses
+# 64-row bands so the 128-row slab affords a KY=20 row window.
+BAND_H = 64
+PAD_Y = 192  # zero padding of the source image (multiple of BAND_H)
 PAD_X = 256
-KY = 14  # row tap window (union over the depth chunk; 14 covers the
-# worst rigid-motion union spread: ~7 px within-block + ~4 px inter-depth
-# + 2 bilinear/floor margin, verified on the tz=0.8 pose in tpu_checks)
+KY = 20  # row tap window (shared row base over the depth chunk): within-
+# block y zoom spans ROWS_E*tz*inv_depth_max px — ~10 at tz=1.6 (KITTI
+# highway frame spacing), ~13 at tz=2.2 — plus ~2 px inter-depth drift and
+# 2 bilinear/floor margin. Pixels beyond land in the coverage counter.
 PY_N = 40  # row-permutation output rows (>= KY + ROWS_E - 1, mult of 8)
 R_PD = 6  # residual lane taps after the PER-DEPTH per-lane shear: the
 # bilinear fraction (2) + within-block row variation of the x displacement
@@ -92,16 +94,55 @@ assert PY_N >= KY + ROWS_E - 1
 assert XSH_MAX > 0
 
 
-def _union_bases(m_first, m_last, y0h, x0h):
+def _hinted_row_min(m, y0h, x0h, height, width):
+    """Min Y displacement over a 5x3 probe grid of the block's in-image
+    extent, counting only probes whose SOURCE lands in-image (the kernel's
+    "hint"). An out-of-image corner would otherwise drag the row base ~10 px
+    below the hinted pixels under near-depth forward motion, overflowing the
+    KY window for pixels that are perfectly warpable. Y only: the X base is
+    SAFE when low (the per-lane shear re-anchors each lane upward by up to
+    XSH_MAX), so X keeps the hint-free corner min; Y has no such recovery,
+    so its base must track the hinted pixels. Returns +1e9 when no probe is
+    hinted. Scalar math; bit-identical in index maps and kernel body."""
+    m00, m01, m02, m10, m11, m12, m20, m21 = m
+    one = jnp.float32(1.0)  # traced-int -> f32 without np-cast concretization
+    y_lo = jnp.clip(one * y0h, 0.0, height - 1.0)
+    y_hi = jnp.clip(one * (y0h + ROWS_E - 1), 0.0, height - 1.0)
+    x_lo = jnp.clip(one * x0h, 0.0, width - 1.0)
+    x_hi = jnp.clip(one * (x0h + COLS_E - 1), 0.0, width - 1.0)
+    big = jnp.float32(1e9)
+    dy_min = big
+    for fy in (0.0, 0.25, 0.5, 0.75, 1.0):
+        ty = y_lo + fy * (y_hi - y_lo)
+        for fx in (0.0, 0.5, 1.0):
+            tx = x_lo + fx * (x_hi - x_lo)
+            den = m20 * tx + m21 * ty + 1.0 + 1e-7
+            sx = (m00 * tx + m01 * ty + m02) / den
+            sy = (m10 * tx + m11 * ty + m12) / den
+            ok = (sx > -1.0) & (sx < width + 0.0) & (sy > -1.0) & (
+                sy < height + 0.0
+            )
+            dy_min = jnp.minimum(dy_min, jnp.where(ok, sy - ty, big))
+    return dy_min
+
+
+def _union_bases(m_first, m_last, y0h, x0h, height, width):
     """Integer tap base + band indices for a block's halo'd extent, covering
     the union of the chunk's endpoint hypotheses (displacement is monotonic
     in inverse depth, so interior hypotheses lie between the endpoints).
 
+    The ROW base is the hint-filtered probe min less a 3 px inter-probe
+    margin, falling back to the hint-free corner bounds when no probe is
+    hinted (such blocks are mostly unhinted; stragglers land in the coverage
+    counter). The LANE base stays corner-based (see _hinted_row_min).
     Scalar math; must be bit-identical in index maps and kernel body.
     """
+    h0 = _hinted_row_min(m_first, y0h, x0h, height, width)
+    h1 = _hinted_row_min(m_last, y0h, x0h, height, width)
+    dy_hint = jnp.minimum(h0, h1) - 3.0
     b0 = _corner_displacement_bounds(m_first, y0h, x0h, ROWS_E, COLS_E)
     b1 = _corner_displacement_bounds(m_last, y0h, x0h, ROWS_E, COLS_E)
-    dy_min = jnp.minimum(b0[0], b1[0])
+    dy_min = jnp.where(dy_hint < 1e8, dy_hint, jnp.minimum(b0[0], b1[0]))
     dx_min = jnp.minimum(b0[2], b1[2])
     # Clip so the band window always stays inside the padded image
     # (pixels needing more land in the coverage counter).
@@ -168,9 +209,15 @@ def _sad_kernel(
     ms = [
         _read_hom(hom_ref, n, dc * dchunk + dd, n_depths) for dd in range(dchunk)
     ]
-    by, bx, ry, lx = _union_bases(ms[0], ms[-1], y0h, x0h)
+    by, bx, ry, lx = _union_bases(ms[0], ms[-1], y0h, x0h, height, width)
     byf = by.astype(jnp.float32)
     bxf = bx.astype(jnp.float32)
+    off_y = (y0h + by + PAD_Y) - ry * BAND_H
+    off_x = (x0h + bx + PAD_X) - lx * BAND_W
+    # Per-lane shears may go as low as -off_x: the 512-lane slab starts
+    # off_x lanes below the block's base, so lanes whose hinted minimum sits
+    # below the (probe-estimated) bx are still coverable.
+    xsh_lo = 0.0 - off_x.astype(jnp.float32)
 
     rows = (jax.lax.broadcasted_iota(jnp.int32, (ROWS_E, COLS_E), 0) + y0h).astype(
         jnp.float32
@@ -218,7 +265,7 @@ def _sad_kernel(
         fy = dys[dd] - byf
         lane_min = jnp.min(jnp.where(hi, dxs[dd], pos), axis=0, keepdims=True)
         xsh_dd = jnp.clip(
-            jnp.floor(lane_min - bxf), 0.0, float(XSH_MAX)
+            jnp.floor(lane_min - bxf), xsh_lo, float(XSH_MAX)
         ).astype(jnp.int32)  # (1, COLS_E)
         xshf = xsh_dd.astype(jnp.float32)
         fxr = dxs[dd] - bxf - xshf  # residual after this depth's shear
@@ -247,8 +294,6 @@ def _sad_kernel(
 
     # --- row-aligned slab (shared by the whole chunk; machinery in
     # slab.py, shared with grid_warp.py) -----------------------------------
-    off_y = (y0h + by + PAD_Y) - ry * BAND_H
-    off_x = (x0h + bx + PAD_X) - lx * BAND_W
     slab_hi, slab_lo, shear_dtype = build_aligned_slab(
         band00_ref[0], band01_ref[0], band10_ref[0], band11_ref[0],
         off_y, PY_N, interpret,
@@ -284,13 +329,24 @@ def _sad_kernel(
                 ind_x = (
                     (tx >= border_radius) & (tx < width - border_radius)
                 ).astype(jnp.float32)
+                # Zero the weight at unhinted pixels: their residual is
+                # arbitrary, and a nonzero hat weight there could read a
+                # slab slot no program ever wrote (uninitialized VMEM).
+                # Hinted pixels of depth dd are zero past r_his[dd] by
+                # construction. Unhinted pixels are masked downstream
+                # either way (their taps fail the border indicators).
                 wx = jnp.clip(1.0 - jnp.abs(fxrs[dd] - sf), 0.0, 1.0)
+                wx = wx * his[dd].astype(jnp.float32)
                 wx_s[dd * R_PD + s] = wx
                 macc_s[dd, 1] += wx * ind_x
 
         for dd in range(dchunk):
-
-            @pl.when(any_hint & (s < r_his[dd]))
+            # Guarded by the SHARED bound: phase B reads every (dd, s<r_hi)
+            # slot, and an unwritten slot could hold non-finite bits that
+            # survive multiplication by a zero weight (0*NaN). The per-depth
+            # bounds r_his[dd] track the shared max to within ~1 (they are
+            # all fraction + row-variation), so the extra matmuls are rare.
+            @pl.when(any_hint & (s < r_hi))
             def _(s=s, dd=dd):
                 shear_s[dd * R_PD + s] = select_lanes(
                     slab_hi, slab_lo, lane_src, shear_bases[dd], s,
@@ -450,7 +506,9 @@ def plane_sweep_sad(
     def band_index(ni, rbi, cbi, dci, hom_ref, dr, dl):
         m0 = _read_hom(hom_ref, ni, dci * dchunk, d)
         m1 = _read_hom(hom_ref, ni, dci * dchunk + dchunk - 1, d)
-        _, _, ry, lx = _union_bases(m0, m1, rbi * ROWS - HALO, cbi * COLS - HALO)
+        _, _, ry, lx = _union_bases(
+            m0, m1, rbi * ROWS - HALO, cbi * COLS - HALO, h, w
+        )
         ry = jnp.clip(ry + dr, 0, n_row_bands - 1)
         lx = jnp.clip(lx + dl, 0, n_lane_bands - 1)
         return (ni, 0, ry, lx)

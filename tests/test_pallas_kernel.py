@@ -133,17 +133,16 @@ def test_fused_sad_kernel_bf16_within_budget():
 
 
 def test_coverage_counter_fires_on_extreme_motion():
-    """A pathological pose (large rotation + 30 m sideways translation) must
-    be reported by the coverage counter instead of silently corrupting the
-    CV (VERDICT r1 weak #5)."""
+    """A pose beyond the kernel's documented envelope must be reported by
+    the coverage counter instead of silently corrupting the CV (VERDICT r1
+    weak #5). 8 m of forward motion at the 3 m nearest hypothesis spans
+    ~50 px of within-block y zoom — far past the KY row window — while
+    pixels near the focus of expansion stay in-image (hinted). The round-1
+    pose (0.5 rad yaw + 30 m sideways) no longer fires: the per-depth
+    hint-filtered lane shears genuinely cover every hinted pixel there."""
     args = list(_cv_args(b=1))
     poses = np.asarray(args[5]).copy()
-    th = 0.5
-    poses[0, 1, :3, :3] = np.array(
-        [[np.cos(th), 0, np.sin(th)], [0, 1, 0], [-np.sin(th), 0, np.cos(th)]],
-        np.float32,
-    )
-    poses[0, 1, 0, 3] = 30.0
+    poses[0, 1, 2, 3] = 8.0
     args[5] = jnp.asarray(poses)
     cfg = CostVolumeConfig(depth_steps=4)
     _, _, cov = compute_cost_volume(
@@ -221,3 +220,29 @@ def test_grid_warp_rows32_geometry_matches_gather(tmp_path):
     )
     assert r.returncode == 0, r.stderr[-2000:]
     assert "OK" in r.stdout
+
+
+def test_fused_kernel_rotation_forward_motion_parity():
+    """KITTI-scale rotation (2 deg yaw, 1 deg pitch/roll) + 0.8 m forward
+    motion at dchunk=4: the per-depth lane shears absorb the inter-depth
+    drift, and the R_PD residual window must still cover the
+    rotation-induced within-block x variation (coverage == 0, parity with
+    the XLA gather path)."""
+    from scipy.spatial.transform import Rotation
+
+    args = list(_cv_args(b=1, h=32, w=128))
+    poses = np.asarray(args[5]).copy()
+    rot = Rotation.from_euler("yxz", [2.0, 1.0, 1.0], degrees=True).as_matrix()
+    poses[0, 1, :3, :3] = rot.astype(np.float32)
+    poses[0, 0, 2, 3] = 0.8
+    poses[0, 1, 2, 3] = 1.6
+    args[5] = jnp.asarray(poses)
+
+    cfg = CostVolumeConfig(depth_steps=24)
+    fx, sx = compute_cost_volume(*args, cfg, backend="xla")
+    fp, sp, cov = compute_cost_volume(
+        *args, cfg, backend="pallas", interpret=True, return_coverage=True
+    )
+    assert np.all(np.asarray(cov) == 0.0)
+    np.testing.assert_allclose(np.asarray(fx), np.asarray(fp), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(sx), np.asarray(sp), atol=1e-4)
