@@ -112,6 +112,9 @@ def _hinted_row_min(m, y0h, x0h, height, width):
     x_hi = jnp.clip(one * (x0h + COLS_E - 1), 0.0, width - 1.0)
     big = jnp.float32(1e9)
     dy_min = big
+    # 5 row probes (dy varies fastest along y under zoom) x 3 column probes
+    # (edge columns alone go unhinted when the hint boundary cuts the block,
+    # losing the row minimum — measured on the 2-deg + tz=1.6 pose).
     for fy in (0.0, 0.25, 0.5, 0.75, 1.0):
         ty = y_lo + fy * (y_hi - y_lo)
         for fx in (0.0, 0.5, 1.0):
