@@ -26,7 +26,7 @@ import numpy as np
 from monorec_tpu.ops.cost_volume import CostVolumeConfig, compute_cost_volume
 
 
-def build(b, f, h, w, seed=0):
+def build(b, f, h, w, seed=0, tz=0.8, deg=None):
     rng = np.random.default_rng(seed)
     k = np.zeros((4, 4), np.float32)
     k[0, 0] = k[1, 1] = 0.8 * w
@@ -36,11 +36,19 @@ def build(b, f, h, w, seed=0):
     poses = np.tile(np.eye(4, dtype=np.float32), (b, f, 1, 1))
     poses[:, 0, 0, 3] = 0.3
     poses[:, 1, 0, 3] = -0.3
-    poses[:, 1, 2, 3] = 0.8
-    th = 0.01
-    poses[:, 0, :3, :3] = [
-        [np.cos(th), 0, np.sin(th)], [0, 1, 0], [-np.sin(th), 0, np.cos(th)]
-    ]
+    poses[:, 1, 2, 3] = tz
+    if deg is None:
+        th = 0.01
+        poses[:, 0, :3, :3] = [
+            [np.cos(th), 0, np.sin(th)], [0, 1, 0], [-np.sin(th), 0, np.cos(th)]
+        ]
+    else:
+        from scipy.spatial.transform import Rotation
+
+        rot = Rotation.from_euler(
+            "yxz", [deg, deg / 2, deg / 2], degrees=True
+        ).as_matrix()
+        poses[:, 1, :3, :3] = rot.astype(np.float32)
     return (
         jnp.asarray(rng.uniform(-0.5, 0.5, (b, h, w, 3)).astype(np.float32)),
         jnp.asarray(kb),
@@ -53,8 +61,9 @@ def build(b, f, h, w, seed=0):
     )
 
 
-def parity(b=2, f=2, h=64, w=128, d_steps=8, warp_dtype="float32", tol=1e-3):
-    args = build(b, f, h, w)
+def parity(b=2, f=2, h=64, w=128, d_steps=8, warp_dtype="float32", tol=1e-3,
+           tz=0.8, deg=None):
+    args = build(b, f, h, w, tz=tz, deg=deg)
     cfg = CostVolumeConfig(depth_steps=d_steps, warp_dtype=warp_dtype)
     ref_cfg = CostVolumeConfig(depth_steps=d_steps)
     ref = jax.jit(lambda *a: compute_cost_volume(*a, ref_cfg, backend="xla"))(*args)
@@ -154,6 +163,9 @@ if __name__ == "__main__":
     # bf16 serving path: source images quantized to bf16 in-kernel; the
     # CV error budget vs the exact f32 XLA path is 5e-3 (measured ~1.6e-3).
     ok &= parity(1, 2, 256, 512, 32, warp_dtype="bfloat16", tol=5e-3)
+    # Rotation (2 deg yaw + 1 deg pitch/roll) + KITTI-highway forward motion
+    # (tz=1.6): stresses the hinted row base + per-depth lane shears.
+    ok &= parity(1, 2, 256, 512, 32, tz=1.6, deg=2.0)
     ok &= grid_warp_parity()
     perf()
     sys.exit(0 if ok else 1)
