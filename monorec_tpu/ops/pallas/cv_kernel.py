@@ -94,58 +94,20 @@ assert PY_N >= KY + ROWS_E - 1
 assert XSH_MAX > 0
 
 
-def _hinted_row_min(m, y0h, x0h, height, width):
-    """Min Y displacement over a 5x3 probe grid of the block's in-image
-    extent, counting only probes whose SOURCE lands in-image (the kernel's
-    "hint"). An out-of-image corner would otherwise drag the row base ~10 px
-    below the hinted pixels under near-depth forward motion, overflowing the
-    KY window for pixels that are perfectly warpable. Y only: the X base is
-    SAFE when low (the per-lane shear re-anchors each lane upward by up to
-    XSH_MAX), so X keeps the hint-free corner min; Y has no such recovery,
-    so its base must track the hinted pixels. Returns +1e9 when no probe is
-    hinted. Scalar math; bit-identical in index maps and kernel body."""
-    m00, m01, m02, m10, m11, m12, m20, m21 = m
-    one = jnp.float32(1.0)  # traced-int -> f32 without np-cast concretization
-    y_lo = jnp.clip(one * y0h, 0.0, height - 1.0)
-    y_hi = jnp.clip(one * (y0h + ROWS_E - 1), 0.0, height - 1.0)
-    x_lo = jnp.clip(one * x0h, 0.0, width - 1.0)
-    x_hi = jnp.clip(one * (x0h + COLS_E - 1), 0.0, width - 1.0)
-    big = jnp.float32(1e9)
-    dy_min = big
-    # 5 row probes (dy varies fastest along y under zoom) x 3 column probes
-    # (edge columns alone go unhinted when the hint boundary cuts the block,
-    # losing the row minimum — measured on the 2-deg + tz=1.6 pose).
-    for fy in (0.0, 0.25, 0.5, 0.75, 1.0):
-        ty = y_lo + fy * (y_hi - y_lo)
-        for fx in (0.0, 0.5, 1.0):
-            tx = x_lo + fx * (x_hi - x_lo)
-            den = m20 * tx + m21 * ty + 1.0 + 1e-7
-            sx = (m00 * tx + m01 * ty + m02) / den
-            sy = (m10 * tx + m11 * ty + m12) / den
-            ok = (sx > -1.0) & (sx < width + 0.0) & (sy > -1.0) & (
-                sy < height + 0.0
-            )
-            dy_min = jnp.minimum(dy_min, jnp.where(ok, sy - ty, big))
-    return dy_min
-
-
 def _union_bases(m_first, m_last, y0h, x0h, height, width):
-    """Integer tap base + band indices for a block's halo'd extent, covering
-    the union of the chunk's endpoint hypotheses (displacement is monotonic
-    in inverse depth, so interior hypotheses lie between the endpoints).
-
-    The ROW base is the hint-filtered probe min less a 3 px inter-probe
-    margin, falling back to the hint-free corner bounds when no probe is
-    hinted (such blocks are mostly unhinted; stragglers land in the coverage
-    counter). The LANE base stays corner-based (see _hinted_row_min).
-    Scalar math; must be bit-identical in index maps and kernel body.
+    """Integer FETCH base + band indices for a block's halo'd extent,
+    covering the union of the chunk's endpoint hypotheses (displacement is
+    monotonic in inverse depth, so interior hypotheses lie between the
+    endpoints). Corner-based and hint-free, so it lower-bounds every pixel's
+    displacement; the kernel body re-anchors the TAP bases upward inside the
+    fetched window — per-lane shears for x, and an exact hinted vector-min
+    row base for y (out-of-image corners would otherwise drag the row base
+    ~10 px below the warpable pixels under near-depth forward motion,
+    overflowing KY). Scalar math; bit-identical in index maps and body.
     """
-    h0 = _hinted_row_min(m_first, y0h, x0h, height, width)
-    h1 = _hinted_row_min(m_last, y0h, x0h, height, width)
-    dy_hint = jnp.minimum(h0, h1) - 3.0
     b0 = _corner_displacement_bounds(m_first, y0h, x0h, ROWS_E, COLS_E)
     b1 = _corner_displacement_bounds(m_last, y0h, x0h, ROWS_E, COLS_E)
-    dy_min = jnp.where(dy_hint < 1e8, dy_hint, jnp.minimum(b0[0], b1[0]))
+    dy_min = jnp.minimum(b0[0], b1[0])
     dx_min = jnp.minimum(b0[2], b1[2])
     # Clip so the band window always stays inside the padded image
     # (pixels needing more land in the coverage counter).
@@ -213,8 +175,7 @@ def _sad_kernel(
         _read_hom(hom_ref, n, dc * dchunk + dd, n_depths) for dd in range(dchunk)
     ]
     by, bx, ry, lx = _union_bases(ms[0], ms[-1], y0h, x0h, height, width)
-    byf = by.astype(jnp.float32)
-    bxf = bx.astype(jnp.float32)
+    bxf = bx.astype(jnp.float32)  # row base is re-anchored below (by_t)
     off_y = (y0h + by + PAD_Y) - ry * BAND_H
     off_x = (x0h + bx + PAD_X) - lx * BAND_W
     # Per-lane shears may go as low as -off_x: the 512-lane slab starts
@@ -253,6 +214,23 @@ def _sad_kernel(
 
     pos = jnp.float32(1e9)
     neg = -pos
+    # Exact hinted ROW base: the fetch base `by` is a hint-free corner
+    # lower bound, which an out-of-image corner can drag ~10 px below the
+    # warpable pixels (overflowing KY). Re-anchor the tap base at the exact
+    # vector min over pixels hinted at ANY hypothesis of the endpoint
+    # values (monotonic in inverse depth), clamped into the fetched 2-band
+    # window; pixels past the clamp land in the coverage counter.
+    any_hi = his[0]
+    for hh in his[1:]:
+        any_hi = any_hi | hh
+    end_min_y = jnp.where(any_hi, jnp.minimum(dys[0], dys[-1]), pos)
+    slack = (2 * BAND_H - PY_N) - off_y
+    by_t = jnp.clip(
+        jnp.floor(jnp.min(end_min_y)).astype(jnp.int32), by, by + slack
+    )
+    byf = by_t.astype(jnp.float32)
+    off_y = off_y + (by_t - by)
+
     # PER-DEPTH per-lane shears: each hypothesis' own lane profile (min over
     # its own hinted pixels per lane) is absorbed into its own selection
     # one-hot, so the residual tap window only spans the bilinear fraction +
