@@ -52,95 +52,92 @@ def main():
     from monorec_tpu.models import MonoRec, MonoRecConfig
 
     batch_size = int(os.environ.get("BENCH_BATCH", "8"))
-    # The recommended TPU serving configuration: bf16 source images inside
-    # the fused cost-volume kernel (golden-sample abs_rel drift 3e-6
-    # relative, ~1.6x faster sweep). BENCH_WARP_DTYPE=float32 measures the
-    # exact-parity path instead.
-    warp_dtype = os.environ.get("BENCH_WARP_DTYPE", "bfloat16")
-    # bf16 conv compute in the Mask/Depth U-Nets (params stay f32): runs the
-    # decoder convs on the MXU at ~2x f32 rate. BENCH_COMPUTE_DTYPE=float32
-    # measures the exact-parity path.
-    compute_dtype = os.environ.get("BENCH_COMPUTE_DTYPE", "bfloat16")
-    model = MonoRec(
-        MonoRecConfig(
-            cv_depth_steps=32,
-            cv_warp_dtype=warp_dtype,
-            compute_dtype=compute_dtype,
+
+    def bench_forward(warp_dtype, compute_dtype, motion=False):
+        """Steady-state forward keyframes/sec at the given precision."""
+        model = MonoRec(
+            MonoRecConfig(
+                cv_depth_steps=32,
+                cv_warp_dtype=warp_dtype,
+                compute_dtype=compute_dtype,
+            )
         )
-    )
-    batch = _make_batch(batch_size, 256, 512, 2, stereo=False, mask=False)
+        batch = _make_batch(
+            batch_size, 256, 512, 2, stereo=False, mask=False,
+            tz=0.4 if motion else 0.0,
+        )
+        variables = jax.jit(
+            lambda b: model.init({"params": jax.random.PRNGKey(0)}, b, False)
+        )(batch)
 
-    variables = jax.jit(
-        lambda b: model.init({"params": jax.random.PRNGKey(0)}, b, False)
-    )(batch)
+        @jax.jit
+        def fwd_chained(v, b, eps):
+            b = dict(b)
+            b["keyframe"] = b["keyframe"] + eps
+            out = model.apply(v, b, False)
+            return out["result"].mean() + out["cv_mask"].mean()
 
-    @jax.jit
-    def fwd_chained(v, b, eps):
-        b = dict(b)
-        b["keyframe"] = b["keyframe"] + eps
-        out = model.apply(v, b, False)
-        return out["result"].mean() + out["cv_mask"].mean()
+        eps = jnp.float32(0.0)
+        float(fwd_chained(variables, batch, eps))  # compile
+        # Steady-state warmup: the first executions after compile run ~40%
+        # slower on the axon tunnel (lazy transfer/allocator setup); a single
+        # warmup call under-reports by that much.
+        for _ in range(5):
+            eps = fwd_chained(variables, batch, eps * 1e-9)
+        float(eps)
 
-    eps = jnp.float32(0.0)
-    _note("compiling forward...")
-    float(fwd_chained(variables, batch, eps))  # compile
-    _note("forward compiled")
-    # Steady-state warmup: the first executions after compile run ~40%
-    # slower on the axon tunnel (lazy transfer/allocator setup); a single
-    # warmup call under-reports by that much.
-    for _ in range(5):
-        eps = fwd_chained(variables, batch, eps * 1e-9)
-    float(eps)
+        profile_dir = os.environ.get("BENCH_PROFILE_DIR")
+        if profile_dir and not motion and warp_dtype == "bfloat16":
+            # jax.profiler trace of a few steps (the reference's analog is
+            # the ad-hoc cv_module_time / steps_per_sec counters; here you
+            # get the full XLA/TPU timeline).
+            with jax.profiler.trace(profile_dir):
+                for _ in range(3):
+                    eps = fwd_chained(variables, batch, eps * 1e-9)
+                float(eps)
 
-    profile_dir = os.environ.get("BENCH_PROFILE_DIR")
-    if profile_dir:
-        # jax.profiler trace of a few steps (the reference's analog is the
-        # ad-hoc cv_module_time / steps_per_sec counters; here you get the
-        # full XLA/TPU timeline).
-        with jax.profiler.trace(profile_dir):
-            for _ in range(3):
-                eps = fwd_chained(variables, batch, eps * 1e-9)
-            float(eps)
+        iters = 10
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            eps = fwd_chained(variables, batch, eps * 1e-9)
+        float(eps)  # forces the whole chain
+        return batch_size * iters / (time.perf_counter() - t0)
 
-    iters = 10
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        eps = fwd_chained(variables, batch, eps * 1e-9)
-    float(eps)  # forces the whole chain
-    dt = time.perf_counter() - t0
-    kf_per_sec = batch_size * iters / dt
-
+    # "value" is the recommended TPU serving configuration (bf16 warps +
+    # bf16 U-Net compute; parity drift ≪ the 1% budget, see PARITY.md);
+    # "value_f32" is the exact reference-parity configuration.
+    _note("compiling + timing serving (bf16) forward...")
+    kf_per_sec = bench_forward("bfloat16", "bfloat16")
     result = {
         "metric": "kitti_256x512_D32_F2_forward_keyframes_per_sec",
         "value": round(kf_per_sec, 2),
         "unit": "keyframes/s/chip",
         "vs_baseline": round(kf_per_sec / 50.0, 3),
     }
+    _note(f"serving forward: {result['value']} kf/s; timing exact f32...")
+    result["value_f32"] = round(bench_forward("float32", "float32"), 2)
 
     # Same forward under KITTI-like ego-motion (~0.8 m forward between
     # source frames): the larger plane-sweep displacement spread exercises
     # the kernel's tap loop, so this is the conservative throughput bound.
-    batch_fwd = _make_batch(batch_size, 256, 512, 2, stereo=False, mask=False, tz=0.4)
-    eps = jnp.float32(0.0)
-    float(fwd_chained(variables, batch_fwd, eps))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        eps = fwd_chained(variables, batch_fwd, eps * 1e-9)
-    float(eps)
+    _note("timing forward under ego-motion...")
     result["value_fwd_motion"] = round(
-        batch_size * iters / (time.perf_counter() - t0), 2
+        bench_forward("bfloat16", "bfloat16", motion=True), 2
     )
 
     _note(f"forward done: {result}")
     if os.environ.get("BENCH_TRAIN", "1") != "0":
-        result["train_step_kf_per_sec"] = round(_bench_train_step(batch_size), 2)
+        med, spread = _bench_train_step(batch_size)
+        result["train_step_kf_per_sec"] = round(med, 2)
+        result["train_step_kf_per_sec_spread"] = round(spread, 2)
 
     print(json.dumps(result))
 
 
-def _bench_train_step(batch_size: int) -> float:
+def _bench_train_step(batch_size: int):
     """Stage-1 (depth bootstrap) jitted train-step throughput: forward +
-    depth_loss + backward + adam update, batch sharded over the local mesh."""
+    depth_loss + backward + adam update. Returns (median, spread) over
+    several timing windows — steady-state, robust to axon-tunnel jitter."""
     import time
 
     import jax
@@ -149,17 +146,19 @@ def _bench_train_step(batch_size: int) -> float:
     from __graft_entry__ import _make_batch
     from monorec_tpu.losses import depth_loss
     from monorec_tpu.models import MonoRec, MonoRecConfig
+    from monorec_tpu.precision import set_precision
     from monorec_tpu.train.state import create_train_state, make_optimizer
 
+    # Mixed-precision training policy: bf16 warps (CV + loss reprojection)
+    # and bf16 U-Net conv compute, f32 params/grads/losses. Measured stage-1
+    # loss trajectory tracks f32 within 6e-5 relative after 30 steps.
+    set_precision("serving")
     model = MonoRec(
         MonoRecConfig(
             cv_depth_steps=32, pretrain_mode=1, pretrain_dropout=0.5,
             augmentation="depth",
-            cv_warp_dtype=os.environ.get("BENCH_WARP_DTYPE", "bfloat16"),
-            # Mixed-precision training: bf16 conv compute, f32 params/grads/
-            # losses. Measured stage-1 loss trajectory tracks f32 within
-            # 6e-5 relative after 30 steps.
-            compute_dtype=os.environ.get("BENCH_COMPUTE_DTYPE", "bfloat16"),
+            cv_warp_dtype="bfloat16",
+            compute_dtype="bfloat16",
         )
     )
     batch = _make_batch(batch_size, 256, 512, 2, stereo=True, mask=False)
@@ -192,14 +191,22 @@ def _bench_train_step(batch_size: int) -> float:
     state, loss = step(state, batch, rng, eps)
     float(loss)  # compile + warmup
     _note("train step compiled")
-
-    iters = 5
-    t0 = time.perf_counter()
-    for _ in range(iters):
+    for _ in range(3):
         state, loss = step(state, batch, rng, loss * 1e-12)
     float(loss)
-    dt = time.perf_counter() - t0
-    return batch_size * iters / dt
+
+    # Median + spread over windows: single-window numbers vary ~10% between
+    # runs on the axon tunnel (the r02 36.97 vs README 41.5 discrepancy).
+    rates = []
+    iters = 5
+    for _ in range(5):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, loss = step(state, batch, rng, loss * 1e-12)
+        float(loss)
+        rates.append(batch_size * iters / (time.perf_counter() - t0))
+    rates.sort()
+    return rates[len(rates) // 2], rates[-1] - rates[0]
 
 
 if __name__ == "__main__":

@@ -55,7 +55,10 @@ _DATALOADER_TO_DATASET = {
 
 def build_model_config(arch_args: Dict) -> Tuple[MonoRecConfig, Dict]:
     """Split a reference MonoRecModel args dict into (MonoRecConfig,
-    checkpoint-loading spec)."""
+    checkpoint-loading spec). Model dtype knobs not set explicitly are
+    filled from the active precision policy (``monorec_tpu.precision``)."""
+    from monorec_tpu.precision import apply_to_model_kwargs
+
     cfg_kwargs = {}
     for k, v in arch_args.items():
         if k in _MODEL_CONFIG_KEYS:
@@ -66,6 +69,7 @@ def build_model_config(arch_args: Dict) -> Tuple[MonoRecConfig, Dict]:
             if k == "use_ssim":
                 v = int(v)
             cfg_kwargs[k] = v
+    cfg_kwargs = apply_to_model_kwargs(cfg_kwargs)
     ckpts = {
         "checkpoint_location": arch_args.get("checkpoint_location"),
         "mask_cp_loc": arch_args.get("mask_cp_loc"),
@@ -131,6 +135,12 @@ class ConfigParser:
 
         self._config = config
         self.options = list(options)
+
+        # One config-level precision knob selects exact-parity vs serving
+        # mixed precision end-to-end (model dtypes + loss warp dtype).
+        from monorec_tpu.precision import set_precision
+
+        set_precision(config.get("precision", "exact"))
 
         ts = datetime.now().strftime(r"%m%d_%H%M%S") if timestamp else ""
         section = None

@@ -34,12 +34,12 @@ INF = jnp.inf
 
 def loss_warp_dtype():
     """Source-value dtype for the loss warps' kernel path (XLA path is
-    always exact f32). Default bf16 — the recommended TPU configuration;
-    set ``MONOREC_LOSS_WARP_DTYPE=float32`` for exact-parity runs."""
-    import os
+    always exact f32). Selected by the framework precision policy
+    (``monorec_tpu.precision``): "exact" -> f32 (default), "serving" ->
+    bf16."""
+    from monorec_tpu.precision import loss_warp_dtype as _policy_dtype
 
-    name = os.environ.get("MONOREC_LOSS_WARP_DTYPE", "bfloat16")
-    return jnp.float32 if name == "float32" else jnp.bfloat16
+    return _policy_dtype()
 
 
 def compute_errors(img0: Array, img1: Array) -> Array:

@@ -12,11 +12,15 @@ without touching trainer code; ``make_mesh`` accepts any (axis, size) layout.
 
 from __future__ import annotations
 
+import logging
 from typing import Dict, Optional, Sequence, Tuple
 
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+logger = logging.getLogger(__name__)
+_warned_replicated = False
 
 
 def make_mesh(
@@ -57,10 +61,25 @@ def shard_batch(batch: Dict, mesh: Mesh, axis: str = "data") -> Dict:
     """
     sharded = batch_sharding(mesh, axis)
     replicated = replicated_sharding(mesh)
-    n = mesh.devices.size
+    # Divisibility is against the batch axis size only: on a 2-D mesh
+    # (e.g. data x model) the batch is sharded over "data" alone and the
+    # other axes replicate it.
+    n = dict(zip(mesh.axis_names, mesh.devices.shape))[axis]
 
     def put(x):
         fits = hasattr(x, "shape") and x.ndim > 0 and x.shape[0] % n == 0
+        if not fits and hasattr(x, "shape") and getattr(x, "ndim", 0) > 0:
+            # A mis-sized global batch silently degrading to fully-replicated
+            # compute is easy to miss; say so once per process.
+            global _warned_replicated
+            if not _warned_replicated:
+                _warned_replicated = True
+                logger.warning(
+                    "shard_batch: leaf with batch dim %d is not divisible by "
+                    "the %d-device mesh; replicating instead of sharding "
+                    "(data parallelism disabled for such leaves).",
+                    x.shape[0], n,
+                )
         return jax.device_put(x, sharded if fits else replicated)
 
     return jax.tree_util.tree_map(put, batch)

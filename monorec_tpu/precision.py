@@ -1,0 +1,78 @@
+"""Framework-wide precision policy.
+
+The rebuild has three mixed-precision knobs that all trade exact reference
+parity for TPU throughput:
+
+* ``MonoRecConfig.cv_warp_dtype`` — source-image dtype inside the fused
+  Pallas cost-volume kernel;
+* ``MonoRecConfig.compute_dtype`` — conv compute dtype of the Mask/Depth
+  U-Nets (params stay f32);
+* the loss-reprojection warp dtype (``losses/common.py::_warp_by_depth``).
+
+One policy selects all three so a run is either exact end-to-end or the
+serving/training mixed-precision configuration end-to-end — there is no
+half-exact default (the reference, ``model/monorec/monorec_model.py`` and
+``model/loss_functions/common_losses.py``, is f32 everywhere; "exact" is the
+parity configuration).
+
+Select via the top-level ``"precision"`` key of a JSON config ("exact" |
+"serving", default "exact") or programmatically with ``set_precision``.
+The loss warp dtype is read at trace time — set the policy before building
+jitted train steps.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax.numpy as jnp
+
+POLICIES: Dict[str, Dict[str, str]] = {
+    # bit-faithful to the reference: f32 everywhere
+    "exact": {
+        "cv_warp_dtype": "float32",
+        "compute_dtype": "float32",
+        "loss_warp_dtype": "float32",
+    },
+    # recommended TPU configuration: bf16 warps + bf16 U-Net conv compute
+    # (params/grads/losses stay f32). Measured golden-sample abs_rel drift
+    # is ≪ the 1% parity budget (see PARITY.md).
+    "serving": {
+        "cv_warp_dtype": "bfloat16",
+        "compute_dtype": "bfloat16",
+        "loss_warp_dtype": "bfloat16",
+    },
+}
+
+_current = "exact"
+
+
+def set_precision(name: str) -> None:
+    global _current
+    if name not in POLICIES:
+        raise ValueError(f"unknown precision policy {name!r}; one of {sorted(POLICIES)}")
+    _current = name
+
+
+def precision_policy() -> str:
+    return _current
+
+
+def loss_warp_dtype():
+    """Kernel-path source dtype for the loss reprojection warps."""
+    return (
+        jnp.bfloat16
+        if POLICIES[_current]["loss_warp_dtype"] == "bfloat16"
+        else jnp.float32
+    )
+
+
+def apply_to_model_kwargs(kwargs: Dict) -> Dict:
+    """Fill cv_warp_dtype / compute_dtype from the active policy unless the
+    config sets them explicitly (explicit per-knob values win, so a config
+    can still pin e.g. an exact cost volume under the serving policy)."""
+    policy = POLICIES[_current]
+    out = dict(kwargs)
+    out.setdefault("cv_warp_dtype", policy["cv_warp_dtype"])
+    out.setdefault("compute_dtype", policy["compute_dtype"])
+    return out

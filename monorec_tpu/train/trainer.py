@@ -101,6 +101,14 @@ class Trainer:
             self.mnt_mode, self.mnt_metric = self.monitor.split()
             self.mnt_best = math.inf if self.mnt_mode == "min" else -math.inf
 
+        # Per-module latency surface (the reference's cv_module_time analog,
+        # model/monorec/monorec_model.py:151,276-278). Inside one fused jitted
+        # step module boundaries don't exist, so on log steps the submodules
+        # are run as separate compiled programs and fenced with
+        # block_until_ready; reported in ms via TB + the log line.
+        self.module_timing = tcfg.get("module_timing", False)
+        self._timed_fns = None
+
         self.start_epoch = 1
         self._train_step = None
         self._valid_step = None
@@ -164,6 +172,62 @@ class Trainer:
 
         self._train_step = jax.jit(train_step, donate_argnums=(0,))
         self._valid_step = jax.jit(valid_step)
+
+    def _module_times(self, batch: Dict) -> Dict[str, float]:
+        """Wall-clock the CV / ResNet / mask / depth submodules (ms) as
+        separate compiled programs on the current params. Steady-state: each
+        fn runs once un-timed first (covers compile + warmup)."""
+        import time as _time
+
+        model = self.model
+        cfg = model.config
+        if self._timed_fns is None:
+            fns = {
+                "cv": None
+                if cfg.no_cv
+                else jax.jit(lambda v, b: model.apply(v, b, method="cost_volume")),
+                "resnet": jax.jit(
+                    lambda v, kf: model.apply(v, kf, method="features")
+                ),
+                "mask": jax.jit(
+                    lambda v, sfcv, feats: model.apply(v, sfcv, feats, method="mask")
+                )
+                if cfg.has_mask_module and not cfg.simple_mask and not cfg.no_cv
+                else None,
+                "depth": jax.jit(
+                    lambda v, cv, kf, feats: model.apply(
+                        v, cv, kf, feats, method="depth"
+                    )
+                )
+                if cfg.has_depth_module and not cfg.no_cv
+                else None,
+            }
+            self._timed_fns = fns
+        fns = self._timed_fns
+
+        variables = {
+            "params": self.state.params,
+            "batch_stats": self.state.batch_stats,
+        }
+
+        def timed(fn, *args):
+            jax.block_until_ready(fn(variables, *args))  # compile + warm
+            t0 = _time.perf_counter()
+            out = fn(variables, *args)
+            jax.block_until_ready(out)
+            return out, (_time.perf_counter() - t0) * 1000.0
+
+        times = {}
+        kf = batch["keyframe"]
+        cv = sfcv = None
+        if fns["cv"] is not None:
+            (cv, sfcv), times["cv_module_time"] = timed(fns["cv"], batch)
+        feats, times["resnet_module_time"] = timed(fns["resnet"], kf)
+        if fns["mask"] is not None:
+            _, times["mask_module_time"] = timed(fns["mask"], sfcv, feats)
+        if fns["depth"] is not None:
+            _, times["depth_module_time"] = timed(fns["depth"], cv, kf, feats)
+        return times
 
     # ----- epoch loops ------------------------------------------------------
 
@@ -231,9 +295,18 @@ class Trainer:
             total_loss_dict = operator_on_dict(total_loss_dict, loss_dict, lambda a, b: a + b)
 
             if step % self.log_step == 0:
+                extra = ""
+                if self.module_timing:
+                    times = self._module_times(batch)
+                    for k, v in times.items():
+                        self.writer.add_scalar(k, v)
+                    extra = " " + " ".join(
+                        f"{k.removesuffix('_module_time')}={v:.1f}ms"
+                        for k, v in times.items()
+                    )
                 self.logger.debug(
                     f"Train Epoch {epoch} [{batch_idx}/{self.len_epoch}] "
-                    f"Loss: {loss_dict['loss']:.6f}"
+                    f"Loss: {loss_dict['loss']:.6f}{extra}"
                 )
                 self._log_images(batch, viz)
 

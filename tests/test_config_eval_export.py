@@ -63,6 +63,54 @@ def test_config_parser_reference_format(tmp_path):
     parser.build_optimizer(steps_per_epoch=4)
 
 
+def test_config_precision_policy_round_trip(tmp_path):
+    """One top-level "precision" key selects the model dtype knobs AND the
+    loss-warp dtype end-to-end; the default is exact f32 everywhere."""
+    from monorec_tpu.losses.common import loss_warp_dtype
+    from monorec_tpu.precision import precision_policy, set_precision
+
+    base = {
+        "name": "prec",
+        "arch": {"type": "MonoRecModel", "args": {"cv_depth_steps": 4}},
+        "trainer": {"save_dir": str(tmp_path), "timestamp_replacement": "t0"},
+    }
+    prev = precision_policy()
+    try:
+        for policy, dtype_name, warp in (
+            ("serving", "bfloat16", jnp.bfloat16),
+            ("exact", "float32", jnp.float32),
+            (None, "float32", jnp.float32),  # default
+        ):
+            cfg = dict(base)
+            if policy is not None:
+                cfg["precision"] = policy
+            path = tmp_path / f"cfg_{policy}.json"
+            path.write_text(json.dumps(cfg))
+            parser = ConfigParser(str(path))
+            model, _ = parser.build_model()
+            assert model.config.cv_warp_dtype == dtype_name
+            assert model.config.compute_dtype == dtype_name
+            assert loss_warp_dtype() == warp
+
+        # explicit per-knob values in the config win over the policy
+        cfg = dict(base)
+        cfg["precision"] = "serving"
+        cfg["arch"] = {
+            "type": "MonoRecModel",
+            "args": {"cv_depth_steps": 4, "cv_warp_dtype": "float32"},
+        }
+        path = tmp_path / "cfg_override.json"
+        path.write_text(json.dumps(cfg))
+        model, _ = ConfigParser(str(path)).build_model()
+        assert model.config.cv_warp_dtype == "float32"
+        assert model.config.compute_dtype == "bfloat16"
+
+        with pytest.raises(ValueError):
+            set_precision("fast-but-wrong")
+    finally:
+        set_precision(prev)
+
+
 @pytest.fixture(scope="module")
 def tiny_model_setup():
     ds = SyntheticSweepDataset(length=8, target_image_size=(32, 64))

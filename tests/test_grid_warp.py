@@ -229,22 +229,21 @@ def test_reprojection_loss_tpu_path_matches_xla():
         return orig(images, grids, backend="tpu", interpret=True, **kw)
 
     from monorec_tpu.losses import common as common_mod
-
-    import os
+    from monorec_tpu.precision import precision_policy, set_precision
 
     common_mod.grid_sample_nhwc, sampling.grid_sample_nhwc = forced, forced
+    prev_policy = precision_policy()
     try:
-        # bf16 source quantization (the TPU default): ~2^-8 relative drift.
+        # bf16 source quantization (the serving policy): ~2^-8 relative drift.
+        set_precision("serving")
         r_bf16, cov = reprojection_loss(
             inv_depth, data, automasking=True, with_coverage=True
         )
         # Exact-parity mode must match the XLA gather path to fp tolerance.
-        os.environ["MONOREC_LOSS_WARP_DTYPE"] = "float32"
-        try:
-            r_f32 = reprojection_loss(inv_depth, data, automasking=True)
-        finally:
-            del os.environ["MONOREC_LOSS_WARP_DTYPE"]
+        set_precision("exact")
+        r_f32 = reprojection_loss(inv_depth, data, automasking=True)
     finally:
+        set_precision(prev_policy)
         common_mod.grid_sample_nhwc, sampling.grid_sample_nhwc = orig, orig
     np.testing.assert_allclose(float(r_f32), float(r_xla), atol=1e-5)
     np.testing.assert_allclose(float(r_bf16), float(r_xla), atol=2e-3)

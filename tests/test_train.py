@@ -24,6 +24,63 @@ def test_mesh_spans_devices():
     assert mesh.devices.size == 8  # conftest forces 8 virtual CPU devices
 
 
+def test_shard_batch_warns_on_silent_replication(caplog):
+    """A leaf whose batch dim is not divisible by the data axis degrades to
+    replicated compute — that must be loud (one warning per process)."""
+    import logging
+
+    from monorec_tpu.parallel import mesh as mesh_mod
+
+    mesh = make_mesh()
+    batch = {"keyframe": jnp.ones((7, 4, 4, 3)), "scalar": jnp.float32(1.0)}
+    mesh_mod._warned_replicated = False
+    with caplog.at_level(logging.WARNING, logger="monorec_tpu.parallel.mesh"):
+        out = shard_batch(batch, mesh)
+    assert any("replicating" in r.message for r in caplog.records)
+    assert out["keyframe"].shape == (7, 4, 4, 3)
+
+    # divisible batches shard silently
+    mesh_mod._warned_replicated = False
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger="monorec_tpu.parallel.mesh"):
+        out = shard_batch({"keyframe": jnp.ones((8, 4, 4, 3))}, mesh)
+    assert not caplog.records
+    assert not out["keyframe"].sharding.is_fully_replicated
+
+
+def test_2d_mesh_train_step():
+    """The mesh axes stay abstract (mesh.py docstring): a (data=4, model=2)
+    mesh with the batch sharded over "data" only runs a full stage-1 train
+    step — params/opt-state replicate over both axes, grads all-reduce."""
+    mesh = make_mesh(axes=(("data", 4), ("model", 2)))
+    assert dict(zip(mesh.axis_names, mesh.devices.shape)) == {"data": 4, "model": 2}
+
+    ds = SyntheticSweepDataset(length=8, target_image_size=(32, 64), frame_count=2)
+    dl = DataLoader(ds, batch_size=8, shuffle=False, num_workers=1, seed=7)
+    model = MonoRec(MonoRecConfig(cv_depth_steps=4, pretrain_mode=1,
+                                  augmentation="depth"))
+    batch = next(iter(dl))
+    tx = make_optimizer({"type": "Adam", "args": {"lr": 1e-4, "amsgrad": True}})
+    state = create_train_state(model, batch, jax.random.PRNGKey(0), tx)
+    trainer = Trainer(
+        model, depth_loss, [], state,
+        {"trainer": {"epochs": 1, "len_epoch": 1, "alpha": 0.5,
+                     "tensorboard": False, "log_step": 100}},
+        dl, run_dir="/tmp/monorec_2dmesh_test", mesh=mesh,
+    )
+    trainer._build_steps()
+    sharded = shard_batch(batch, trainer.mesh)
+    # batch dim 8 divides the data axis (4): sharded, not replicated
+    assert not sharded["keyframe"].sharding.is_fully_replicated
+    before = np.asarray(jax.tree_util.tree_leaves(trainer.state.params["depth_net"])[0])
+    new_state, loss_dict, _, _ = trainer._train_step(
+        trainer.state, sharded, jax.random.PRNGKey(1), 0.5
+    )
+    assert np.isfinite(float(loss_dict["loss"]))
+    after = np.asarray(jax.tree_util.tree_leaves(new_state.params["depth_net"])[0])
+    assert not np.allclose(before, after)
+
+
 @pytest.fixture(scope="module")
 def stage1_setup(tmp_path_factory):
     ds = SyntheticSweepDataset(length=16, target_image_size=(32, 64), frame_count=2)
@@ -59,6 +116,17 @@ def test_stage1_train_step_runs_and_updates(stage1_setup):
         False,
     )
     assert moved
+
+
+def test_module_timing_surface(stage1_setup):
+    """cv_module_time analog (reference monorec_model.py:151,276-278): the
+    trainer can wall-clock each submodule as its own compiled program."""
+    trainer = stage1_setup
+    batch = shard_batch(next(iter(trainer.data_loader)), trainer.mesh)
+    times = trainer._module_times(batch)
+    # pretrain_mode=1: no mask module; cv/resnet/depth must be present
+    assert set(times) == {"cv_module_time", "resnet_module_time", "depth_module_time"}
+    assert all(v > 0 for v in times.values())
 
 
 def test_checkpoint_roundtrip(stage1_setup, tmp_path):
