@@ -24,8 +24,8 @@ import jax.numpy as jnp
 
 from monorec_tpu import geometry
 from monorec_tpu.ops.cost_volume import border_mask
-from monorec_tpu.ops.sampling import grid_sample_nhwc
-from monorec_tpu.ops.ssim import ssim
+from monorec_tpu.ops.sampling import grid_sample_planar
+from monorec_tpu.ops.ssim import ssim, ssim_planar
 from monorec_tpu.utils import mask_mean
 
 Array = jax.Array
@@ -43,9 +43,38 @@ def loss_warp_dtype():
 
 
 def compute_errors(img0: Array, img1: Array) -> Array:
-    """0.85*SSIM + 0.15*L1, channel-averaged. (B, H, W)."""
+    """0.85*SSIM + 0.15*L1, channel-averaged. NHWC in, (B, H, W) out."""
     s = ssim(img0, img1, pad_reflection=False, gaussian_average=True, comp_mode=True)
     return 0.85 * jnp.mean(s, axis=-1) + 0.15 * jnp.mean(jnp.abs(img0 - img1), axis=-1)
+
+
+def compute_errors_planar(img0: Array, img1: Array) -> Array:
+    """``compute_errors`` in planar layout: (..., C, H, W) in, (..., H, W)
+    out. The hot formulation on TPU — every (H, W) op runs with W in lanes
+    instead of C=3 (see ``ssim_planar``); values match ``compute_errors``
+    up to f32 window-sum reordering (~1e-7).
+
+    On TPU with kernel-friendly shapes this dispatches to the fused Pallas
+    photometric-error kernel (``ops/pallas/photo_error.py``): the five 3x3
+    window stats, the SSIM formula and the L1 mix are evaluated in VMEM
+    with an analytic backward, instead of XLA materializing each stat as a
+    full (M, C, H, W) stack (measured ~23 ms/step in the stage-1 loss)."""
+    if img0.ndim == 4:
+        from monorec_tpu.ops.pallas.photo_error import BROWS, photo_error
+
+        _, _, h, w = img0.shape
+        if (
+            jax.default_backend() not in ("cpu", "gpu")
+            and h % BROWS == 0
+            and w % 128 == 0
+        ):
+            return photo_error(img0, img1)
+    s = ssim_planar(
+        img0, img1, pad_reflection=False, gaussian_average=True, comp_mode=True
+    )
+    return 0.85 * jnp.mean(s, axis=-3) + 0.15 * jnp.mean(
+        jnp.abs(img0 - img1), axis=-3
+    )
 
 
 def _gather_frames(data: Dict, use_mono: bool, use_stereo: bool):
@@ -65,26 +94,27 @@ def _gather_frames(data: Dict, use_mono: bool, use_stereo: bool):
     )
 
 
-def _warp_by_depth(
+def _warp_by_depth_planar(
     depth: Array,  # (B, H, W) metric depth
-    frames: Array,  # (B, F, H, W, C)
+    frames: Array,  # (B, F, C, H, W) planar
     poses: Array,
     intrinsics: Array,
     keyframe_pose: Array,
     keyframe_intrinsics: Array,
     add: float,
-) -> Array:
-    """Warp each source frame (+add offset) onto the keyframe. (B,F,H,W,C).
+) -> Tuple[Array, Array]:
+    """Warp each source frame (+add offset) onto the keyframe. (B,F,C,H,W).
 
     The grids for all (sample, frame) pairs are computed with vmapped
     geometry, then sampled in ONE batched call so the TPU path runs a
     single Pallas banded-warp kernel over the (B*F) stack (backend="auto"
-    in ``grid_sample_nhwc``) instead of per-frame serial gathers. On the
+    in ``grid_sample_planar``) instead of per-frame serial gathers —
+    planar in and out, so no layout copy touches the stack. On the
     kernel path the source values are quantized to ``loss_warp_dtype()``
     (default bf16: one permutation matmul per tap instead of two and half
     the band DMA; ~2^-8 relative quantization of uint8-derived images).
     """
-    b, f, h, w, c = frames.shape
+    b, f, c, h, w = frames.shape
 
     def grids_one(depth_s, poses_s, kpose, kintr, intr_s):
         inv_k = geometry.invert_intrinsics(kintr)
@@ -102,14 +132,32 @@ def _warp_by_depth(
     grids = jax.vmap(grids_one)(
         depth, poses, keyframe_pose, keyframe_intrinsics, intrinsics
     )  # (B, F, H, W, 2)
-    warped, cov = grid_sample_nhwc(
-        (frames + add).reshape(b * f, h, w, c),
+    warped, cov = grid_sample_planar(
+        (frames + add).reshape(b * f, c, h, w),
         grids.reshape(b * f, h, w, 2),
         backend="auto",
         return_coverage=True,
         kernel_dtype=loss_warp_dtype(),
     )
-    return warped.reshape(b, f, h, w, c), jnp.sum(cov)
+    return warped.reshape(b, f, c, h, w), jnp.sum(cov)
+
+
+def _warp_by_depth(
+    depth: Array,  # (B, H, W) metric depth
+    frames: Array,  # (B, F, H, W, C)
+    poses: Array,
+    intrinsics: Array,
+    keyframe_pose: Array,
+    keyframe_intrinsics: Array,
+    add: float,
+) -> Tuple[Array, Array]:
+    """NHWC wrapper over ``_warp_by_depth_planar`` (kept for non-hot
+    callers such as ``ops/residual_image.py``)."""
+    warped, cov = _warp_by_depth_planar(
+        depth, jnp.moveaxis(frames, -1, 2), poses, intrinsics,
+        keyframe_pose, keyframe_intrinsics, add,
+    )
+    return jnp.moveaxis(warped, 2, -1), cov
 
 
 def reprojection_loss(
@@ -141,42 +189,49 @@ def reprojection_loss(
     frames, poses, intrinsics = _gather_frames(data, use_mono, use_stereo)
     f = frames.shape[1]
 
+    # Planar pipeline: one NHWC->NCHW transpose of the sources and the
+    # keyframe, then the warp kernel, SSIM stencils and the frame combine
+    # all run channels-first (W in lanes) with no further layout copies.
+    frames_p = jnp.moveaxis(frames, -1, 2)  # (B, F, C, H, W)
+    key_p = jnp.moveaxis(keyframe, -1, 1)  # (B, C, H, W)
+
     depth = 1.0 / inv_depth[..., 0]
-    reproj, warp_cov = _warp_by_depth(
-        depth, frames, poses, intrinsics,
+    reproj, warp_cov = _warp_by_depth_planar(
+        depth, frames_p, poses, intrinsics,
         data["keyframe_pose"], data["keyframe_intrinsics"], add=1.5,
     )
-    invalid = reproj[..., 0] == 0  # (B,F,H,W): first channel hit zero padding
+    invalid = reproj[:, :, 0] == 0  # (B,F,H,W): first channel hit zero padding
     reproj = reproj - 1.0
 
     if border > 0:
         bm = border_mask(h, w, border, keyframe.dtype)
-        bm_f = jnp.broadcast_to(bm[None, None, :, :, None], (b, f, h, w, 1))
-        warped_bm = _warp_by_depth(
+        bm_f = jnp.broadcast_to(bm[None, None, None], (b, f, 1, h, w))
+        warped_bm = _warp_by_depth_planar(
             depth, bm_f, poses, intrinsics,
             data["keyframe_pose"], data["keyframe_intrinsics"], add=0.0,
-        )[0][..., 0]
+        )[0][:, :, 0]
         invalid = ~(warped_bm > 0.5)
 
-    key = jnp.broadcast_to((keyframe + 0.5)[:, None], reproj.shape)
-    flat = lambda x: x.reshape(b * f, h, w, c)
-    errors = compute_errors(flat(reproj), flat(key)).reshape(b, f, h, w)
+    key = jnp.broadcast_to((key_p + 0.5)[:, None], reproj.shape)
+    flat = lambda x: x.reshape(b * f, c, h, w)
+    errors = compute_errors_planar(flat(reproj), flat(key)).reshape(b, f, h, w)
     errors = jnp.where(invalid, INF, errors)
 
     if automasking:
         if automask_errors is None:
-            automask_errors = compute_errors(
-                flat(frames + 0.5), flat(key)
+            automask_errors = compute_errors_planar(
+                flat(frames_p + 0.5), flat(key)
             ).reshape(b, f, h, w)
         errors = jnp.where(automask_errors < errors, INF, errors)
 
     if mono_auto:
         fm = data["frames"].shape[1]
+        frames_m = jnp.moveaxis(data["frames"], -1, 2)  # (B, fm, C, H, W)
         key_m = jnp.broadcast_to(
-            (keyframe + 0.5)[:, None], (b, fm, h, w, c)
-        ).reshape(b * fm, h, w, c)
-        e_nw = compute_errors(
-            (data["frames"] + 0.5).reshape(b * fm, h, w, c), key_m
+            (key_p + 0.5)[:, None], (b, fm, c, h, w)
+        ).reshape(b * fm, c, h, w)
+        e_nw = compute_errors_planar(
+            (frames_m + 0.5).reshape(b * fm, c, h, w), key_m
         ).reshape(b, fm, h, w)
         e_nw = jnp.mean(e_nw, axis=1, keepdims=True)
         e_nw = jnp.where(jnp.all(invalid, axis=1, keepdims=True), INF, e_nw)
@@ -224,9 +279,12 @@ def identity_reprojection_errors(
     b, h, w, c = keyframe.shape
     frames, _, _ = _gather_frames(data, use_mono, use_stereo)
     f = frames.shape[1]
-    key = jnp.broadcast_to((keyframe + 0.5)[:, None], frames.shape)
-    return compute_errors(
-        (frames + 0.5).reshape(b * f, h, w, c), key.reshape(b * f, h, w, c)
+    frames_p = jnp.moveaxis(frames, -1, 2)  # (B, F, C, H, W)
+    key = jnp.broadcast_to(
+        (jnp.moveaxis(keyframe, -1, 1) + 0.5)[:, None], frames_p.shape
+    )
+    return compute_errors_planar(
+        (frames_p + 0.5).reshape(b * f, c, h, w), key.reshape(b * f, c, h, w)
     ).reshape(b, f, h, w)
 
 
@@ -325,6 +383,13 @@ def upsample_nearest_to(x: Array, height: int, width: int) -> Array:
     b, h, w, c = x.shape
     if (h, w) == (height, width):
         return x
+    if height % h == 0 and width % w == 0:
+        # Integer factors: floor(i*h/height) == i // r, so the gather is a
+        # pure repeat — express it as broadcast+reshape (no gather op, which
+        # XLA-TPU lowers poorly).
+        ry, rx = height // h, width // w
+        x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, ry, w, rx, c))
+        return x.reshape(b, height, width, c)
     ys = (jnp.arange(height) * h // height).astype(jnp.int32)
     xs = (jnp.arange(width) * w // width).astype(jnp.int32)
     return x[:, ys][:, :, xs]

@@ -58,12 +58,19 @@ class SamePadConv(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        x = pad_same(x, self.kernel_size, self.stride)
+        kh, kw = _pair(self.kernel_size)
+        sh, sw = _pair(self.stride)
+        # Same zero padding as pad_same, but expressed through the conv's
+        # padding attribute: XLA folds it into the convolution instead of
+        # materializing a padded copy (measured ~1 ms per explicit pad at
+        # 8x256x512 scale, and the pad-transpose again in the backward).
+        py = same_pad_amounts(x.shape[-3], kh, sh)
+        px = same_pad_amounts(x.shape[-2], kw, sw)
         return nn.Conv(
             self.features,
-            kernel_size=_pair(self.kernel_size),
-            strides=_pair(self.stride),
-            padding="VALID",
+            kernel_size=(kh, kw),
+            strides=(sh, sw),
+            padding=(py, px),
             dtype=self.dtype,
         )(x)
 

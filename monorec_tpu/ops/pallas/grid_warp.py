@@ -64,11 +64,12 @@ Array = jax.Array
 
 import os as _os
 
-# Output rows per program. 16 (default) doubles the program count but keeps
-# bands at 64 rows; 32 halves per-program overhead, slab-build matmuls and
-# band DMA per output pixel at the cost of 128-row bands (more VMEM).
-# Experiment knob (read once at import): MONOREC_GW_ROWS=32.
-ROWS = int(_os.environ.get("MONOREC_GW_ROWS", "16"))
+# Output rows per program. 32 (default) halves per-program overhead,
+# slab-build matmuls and band DMA per output pixel versus 16, at the cost
+# of 128-row bands (more VMEM); measured +4% on the full stage-1 train step
+# with identical kernel outputs (the tap math is ROWS-independent).
+# Experiment knob (read once at import): MONOREC_GW_ROWS=16.
+ROWS = int(_os.environ.get("MONOREC_GW_ROWS", "32"))
 assert ROWS in (16, 32), ROWS
 COLS = 128  # output cols per program
 BAND_H = 4 * ROWS  # row-band granularity: the 2-band slab gives KY=48 taps

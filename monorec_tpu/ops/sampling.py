@@ -103,7 +103,7 @@ def _grid_sample_tpu_bwd(interpret, res, cots):
 _grid_sample_tpu.defvjp(_grid_sample_tpu_fwd, _grid_sample_tpu_bwd)
 
 
-def grid_sample_nhwc(
+def grid_sample_planar(
     images: Array,
     grids: Array,
     backend: str = "xla",
@@ -111,13 +111,18 @@ def grid_sample_nhwc(
     return_coverage: bool = False,
     kernel_dtype=None,
 ):
-    """Batched sampler: images (N, H, W, C), grids (N, Ho, Wo, 2) -> (N, Ho, Wo, C).
+    """Batched sampler in the kernel's native planar layout:
+    images (N, C, H, W), grids (N, Ho, Wo, 2) -> (N, C, Ho, Wo).
 
     backend="auto" picks the Pallas banded-warp kernel on TPU when shapes
-    allow (same-size sampling, H % 16 == 0, W % 128 == 0) — XLA lowers the
-    gather formulation to serial loops (~4.3 ms per 256x512x3 warp), the
-    kernel to permutation matmuls (~0.4 ms). "xla" keeps the exact gather
-    path (required for per-pixel-depth cost volumes and tiny test shapes).
+    allow (same-size sampling, H % ROWS == 0, W % COLS == 0) — XLA lowers
+    the gather formulation to serial loops (~4.3 ms per 256x512x3 warp),
+    the kernel to permutation matmuls (~0.4 ms). "xla" keeps the exact
+    gather path (required for per-pixel-depth cost volumes and tiny test
+    shapes). Planar callers pay NO layout copies on the kernel path: the
+    kernel reads and writes (N, C, H, W) directly, and channel counts above
+    the kernel's scratch budget fold into the batch dim by a pure reshape
+    (the NHWC wrapper needs two full-stack transposes per call instead).
 
     ``kernel_dtype`` (None | jnp.float32 | jnp.bfloat16) quantizes the
     source values on the KERNEL path only (the XLA path is unaffected, so
@@ -133,13 +138,15 @@ def grid_sample_nhwc(
     output; possible at extreme depth discontinuities). Always 0 on the
     XLA path.
     """
-    n, h, w, c = images.shape
+    n, c, h, w = images.shape
     if backend == "auto":
+        from monorec_tpu.ops.pallas.grid_warp import COLS, ROWS
+
         on_tpu = jax.default_backend() not in ("cpu", "gpu") or interpret
         ok = (
             grids.shape == (n, h, w, 2)
-            and h % 16 == 0
-            and w % 128 == 0
+            and h % ROWS == 0
+            and w % COLS == 0
         )
         backend = "tpu" if (on_tpu and ok) else "xla"
     if backend == "tpu":
@@ -150,30 +157,64 @@ def grid_sample_nhwc(
         y = y.astype(jnp.float32)
         # The kernel's sheared-slab scratch scales with the channel count;
         # wide tensors (e.g. D=32 cost volumes under augmentation) fold
-        # channel groups into the batch dimension instead.
+        # channel groups into the batch dimension (a reshape, no copy).
         cg = 4
         if c > cg:
             g = -(-c // cg)
-            pad_c = g * cg - c
-            imgs = jnp.pad(images, ((0, 0), (0, 0), (0, 0), (0, pad_c)))
-            imgs = imgs.reshape(n, h, w, g, cg)
-            imgs = jnp.moveaxis(imgs, 3, 1).reshape(n * g, h, w, cg)
-            imgs = jnp.moveaxis(imgs, -1, 1).astype(kdtype)
-            xg = jnp.repeat(x, g, axis=0)
-            yg = jnp.repeat(y, g, axis=0)
-            out, cov = _grid_sample_tpu(interpret, imgs, xg, yg)
-            out = jnp.moveaxis(out, 1, -1).reshape(n, g, h, w, cg)
-            out = jnp.moveaxis(out, 1, 3).reshape(n, h, w, g * cg)
-            out = out[..., :c].astype(images.dtype)
-            if return_coverage:
-                return out, jnp.sum(cov.reshape(n, g), axis=1)
-            return out
-        imgs = jnp.moveaxis(images, -1, 1).astype(kdtype)
-        out, cov = _grid_sample_tpu(interpret, imgs, x, y)
-        out = jnp.moveaxis(out, 1, -1).astype(images.dtype)
+            imgs = jnp.pad(images, ((0, 0), (0, g * cg - c), (0, 0), (0, 0)))
+            imgs = imgs.reshape(n * g, cg, h, w).astype(kdtype)
+            out, cov = _grid_sample_tpu(
+                interpret, imgs, jnp.repeat(x, g, axis=0), jnp.repeat(y, g, axis=0)
+            )
+            out = out.reshape(n, g * cg, h, w)[:, :c].astype(images.dtype)
+            cov = jnp.sum(cov.reshape(n, g), axis=1)
+        else:
+            out, cov = _grid_sample_tpu(interpret, images.astype(kdtype), x, y)
+            out = out.astype(images.dtype)
         if return_coverage:
             return out, cov
         return out
+    out = jax.vmap(bilinear_sample)(jnp.moveaxis(images, 1, -1), grids)
+    out = jnp.moveaxis(out, -1, 1)
+    if return_coverage:
+        return out, jnp.zeros((n,), jnp.float32)
+    return out
+
+
+def grid_sample_nhwc(
+    images: Array,
+    grids: Array,
+    backend: str = "xla",
+    interpret: bool = False,
+    return_coverage: bool = False,
+    kernel_dtype=None,
+):
+    """Batched sampler: images (N, H, W, C), grids (N, Ho, Wo, 2) ->
+    (N, Ho, Wo, C). NHWC convenience wrapper over ``grid_sample_planar``
+    (see there for backend/kernel_dtype/coverage semantics); the kernel
+    path pays an NHWC->NCHW transpose of the sources and one back on the
+    warped output — hot planar callers (the reprojection losses) use
+    ``grid_sample_planar`` directly."""
+    n, h, w, c = images.shape
+    if backend == "auto":
+        from monorec_tpu.ops.pallas.grid_warp import COLS, ROWS
+
+        on_tpu = jax.default_backend() not in ("cpu", "gpu") or interpret
+        ok = (
+            grids.shape == (n, h, w, 2)
+            and h % ROWS == 0
+            and w % COLS == 0
+        )
+        backend = "tpu" if (on_tpu and ok) else "xla"
+    if backend == "tpu":
+        out = grid_sample_planar(
+            jnp.moveaxis(images, -1, 1), grids, backend="tpu",
+            interpret=interpret, return_coverage=return_coverage,
+            kernel_dtype=kernel_dtype,
+        )
+        if return_coverage:
+            return jnp.moveaxis(out[0], 1, -1), out[1]
+        return jnp.moveaxis(out, 1, -1)
     out = jax.vmap(bilinear_sample)(images, grids)
     if return_coverage:
         return out, jnp.zeros((n,), jnp.float32)
