@@ -32,3 +32,31 @@ _CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cach
 jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+import pytest  # noqa: E402
+
+# Fast tier: ``pytest -m "not slow"`` must finish in a couple of minutes on a
+# one-core container (this box). Whole modules whose XLA-CPU compile load
+# dominates (measured >=30 s/file warm-cache) are marked slow here, on top of
+# the per-test ``slow``/``perf`` marks inside the files; the full tier
+# (plain ``pytest tests/``) is unchanged.
+_SLOW_MODULES = {
+    "test_config_eval_export.py",
+    "test_convert.py",
+    "test_curriculum.py",
+    "test_device_jitter.py",
+    "test_golden_e2e.py",
+    "test_grid_warp.py",
+    "test_losses.py",
+    "test_models.py",
+    "test_pallas_kernel.py",
+    "test_pretrained.py",
+    "test_train.py",
+    "test_variants.py",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if os.path.basename(str(item.fspath)) in _SLOW_MODULES:
+            item.add_marker(pytest.mark.slow)
