@@ -206,10 +206,16 @@ def reprojection_loss(
     if border > 0:
         bm = border_mask(h, w, border, keyframe.dtype)
         bm_f = jnp.broadcast_to(bm[None, None, None], (b, f, 1, h, w))
-        warped_bm = _warp_by_depth_planar(
-            depth, bm_f, poses, intrinsics,
-            data["keyframe_pose"], data["keyframe_intrinsics"], add=0.0,
-        )[0][:, :, 0]
+        # The warped border mask feeds ONLY the (non-differentiable) > 0.5
+        # comparison; stop_gradient makes that explicit so differentiation
+        # never builds this warp's VJP (or saves its kernel residuals) —
+        # one full warp backward saved per stage-2-4 stereo loss.
+        warped_bm = jax.lax.stop_gradient(
+            _warp_by_depth_planar(
+                depth, bm_f, poses, intrinsics,
+                data["keyframe_pose"], data["keyframe_intrinsics"], add=0.0,
+            )[0][:, :, 0]
+        )
         invalid = ~(warped_bm > 0.5)
 
     key = jnp.broadcast_to((key_p + 0.5)[:, None], reproj.shape)

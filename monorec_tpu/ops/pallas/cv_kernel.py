@@ -275,7 +275,7 @@ def _sad_kernel(
 
     # --- row-aligned slab (shared by the whole chunk; machinery in
     # slab.py, shared with grid_warp.py) -----------------------------------
-    slab_hi, slab_lo, shear_dtype = build_aligned_slab(
+    halves, shear_dtype = build_aligned_slab(
         band00_ref[0], band01_ref[0], band10_ref[0], band11_ref[0],
         off_y, PY_N, interpret,
     )
@@ -287,7 +287,7 @@ def _sad_kernel(
     for dd in range(dchunk):
         xsh_dd, _ = xshfs[dd]
         xsh_full = jnp.pad(xsh_dd, ((0, 0), (0, 256 - COLS_E)))
-        shear_bases.append(lane_dst + off_x + xsh_full)  # (512, 256)
+        shear_bases.append(lane_dst + off_x + xsh_full)  # (256, 256)
 
     acc_s[...] = jnp.zeros(acc_s.shape, jnp.float32)
     macc_s[...] = jnp.zeros(macc_s.shape, jnp.float32)
@@ -330,8 +330,7 @@ def _sad_kernel(
             @pl.when(any_hint & (s < r_hi))
             def _(s=s, dd=dd):
                 shear_s[dd * R_PD + s] = select_lanes(
-                    slab_hi, slab_lo, lane_src, shear_bases[dd], s,
-                    shear_dtype,
+                    halves, lane_src, shear_bases[dd], s, shear_dtype,
                 )  # (C, PY_N, 256)
 
     # --- phase B: banded y taps over the per-depth sheared slabs ----------

@@ -241,10 +241,10 @@ def _warp_kernel(
     lx = (x0 + bx + pad_left) // BAND_W
     off_y = (y0 + by + pad_top) - ry * BAND_H
     off_x = (x0 + bx + pad_left) - lx * BAND_W
-    slab_hi, slab_lo, shear_dtype = build_aligned_slab(
+    halves, shear_dtype = build_aligned_slab(
         band00_ref[0], band01_ref[0], band10_ref[0], band11_ref[0],
         off_y, PY_N, interpret,
-    )  # (C, PY_N, 512) parts — C-major keeps ROWS in the sublane dim
+    )  # (C, PY_N, 256) half pairs — C-major keeps ROWS in the sublane dim
 
     lane_src, lane_dst = lane_iotas(256)
     xsh_full = jnp.pad(xsh, ((0, 0), (0, 256 - COLS)))
@@ -260,7 +260,7 @@ def _warp_kernel(
     # scales with the block's actual displacement spread --------------------
     def sbody(s, _):
         cur_s[...] = select_lanes(
-            slab_hi, slab_lo, lane_src, shear_base, s, shear_dtype
+            halves, lane_src, shear_base, s, shear_dtype
         )  # (C, PY_N, 256)
         d = fxr - s.astype(jnp.float32)
         wxs = jnp.clip(1.0 - jnp.abs(d), 0.0, 1.0)
