@@ -1,11 +1,26 @@
 """Benchmark: MonoRec keyframes/sec on one TPU chip (cost volume + full net).
 
-Measures steady-state throughput of the full inference forward (plane-sweep
-cost volume via the fused Pallas warp kernel, ResNet features, MaskModule,
-mask-attenuated DepthModule) at the reference operating point: 256x512
-images, 2 source frames, 32 depth hypotheses. Prints ONE JSON line;
-``vs_baseline`` is relative to the BASELINE.json north-star of 50
-keyframes/sec/chip.
+Measures steady-state throughput at the reference operating point (256x512
+images, 2 source frames, 32 depth hypotheses):
+
+* full inference forward (plane-sweep cost volume via the fused Pallas warp
+  kernel, ResNet features, MaskModule, mask-attenuated DepthModule) under
+  the "serving" (bf16) and "exact" (f32 reference-parity) precision
+  policies, plus the serving forward under KITTI-like ego-motion;
+* the stage-1 (depth bootstrap) train step under both policies;
+* the stage-4 (depth refinement) MonoRecTrainer step — the heaviest program
+  the framework runs (stereo CV pass + mono CV pass + MaskModule + depth
+  decode + depth_refinement_loss with mult_mask_on_cv; reference protocol
+  ``trainer/monorec_trainer.py:21-122``).
+
+Prints ONE JSON line; ``vs_baseline`` is relative to the BASELINE.json
+north-star of 50 keyframes/sec/chip.
+
+Precision has ONE source of truth here: ``set_precision`` before each
+build; models pick the dtype knobs up via ``apply_to_model_kwargs`` and the
+loss warps read the policy at trace time. Every jitted function is built
+AFTER its policy switch, so the PrecisionPolicyWarning (aimed at stale
+pre-built steps) is suppressed with a note.
 
 Timing uses chained data dependencies + scalar fetch: under the remote axon
 backend, ``block_until_ready`` is not a reliable fence.
@@ -16,10 +31,21 @@ import json
 import os
 import sys
 import time
+import warnings
 
 
 def _note(msg):
     print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
+
+
+def _set_policy(name):
+    """set_precision for the bench pattern: everything jitted is rebuilt
+    after each switch, so the stale-trace warning is a false alarm here."""
+    from monorec_tpu.precision import PrecisionPolicyWarning, set_precision
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", PrecisionPolicyWarning)
+        set_precision(name)
 
 
 def main():
@@ -51,17 +77,15 @@ def main():
 
     from __graft_entry__ import _make_batch
     from monorec_tpu.models import MonoRec, MonoRecConfig
+    from monorec_tpu.precision import apply_to_model_kwargs
 
     batch_size = int(os.environ.get("BENCH_BATCH", "8"))
 
-    def bench_forward(warp_dtype, compute_dtype, motion=False):
-        """Steady-state forward keyframes/sec at the given precision."""
+    def bench_forward(policy, motion=False):
+        """Steady-state forward keyframes/sec under a precision policy."""
+        _set_policy(policy)
         model = MonoRec(
-            MonoRecConfig(
-                cv_depth_steps=32,
-                cv_warp_dtype=warp_dtype,
-                compute_dtype=compute_dtype,
-            )
+            MonoRecConfig(cv_depth_steps=32, **apply_to_model_kwargs({}))
         )
         batch = _make_batch(
             batch_size, 256, 512, 2, stereo=False, mask=False,
@@ -88,7 +112,7 @@ def main():
         float(eps)
 
         profile_dir = os.environ.get("BENCH_PROFILE_DIR")
-        if profile_dir and not motion and warp_dtype == "bfloat16":
+        if profile_dir and not motion and policy == "serving":
             # jax.profiler trace of a few steps (the reference's analog is
             # the ad-hoc cv_module_time / steps_per_sec counters; here you
             # get the full XLA/TPU timeline).
@@ -108,7 +132,7 @@ def main():
     # bf16 U-Net compute; parity drift ≪ the 1% budget, see PARITY.md);
     # "value_f32" is the exact reference-parity configuration.
     _note("compiling + timing serving (bf16) forward...")
-    kf_per_sec = bench_forward("bfloat16", "bfloat16")
+    kf_per_sec = bench_forward("serving")
     result = {
         "metric": "kitti_256x512_D32_F2_forward_keyframes_per_sec",
         "value": round(kf_per_sec, 2),
@@ -116,50 +140,81 @@ def main():
         "vs_baseline": round(kf_per_sec / 50.0, 3),
     }
     _note(f"serving forward: {result['value']} kf/s; timing exact f32...")
-    result["value_f32"] = round(bench_forward("float32", "float32"), 2)
+    result["value_f32"] = round(bench_forward("exact"), 2)
 
     # Same forward under KITTI-like ego-motion (~0.8 m forward between
     # source frames): the larger plane-sweep displacement spread exercises
     # the kernel's tap loop, so this is the conservative throughput bound.
     _note("timing forward under ego-motion...")
-    result["value_fwd_motion"] = round(
-        bench_forward("bfloat16", "bfloat16", motion=True), 2
-    )
+    result["value_fwd_motion"] = round(bench_forward("serving", motion=True), 2)
 
     _note(f"forward done: {result}")
     if os.environ.get("BENCH_TRAIN", "1") != "0":
-        med, spread = _bench_train_step(batch_size)
+        _note("stage-1 train step, serving policy...")
+        med, spread = _bench_train_step(batch_size, "serving")
         result["train_step_kf_per_sec"] = round(med, 2)
         result["train_step_kf_per_sec_spread"] = round(spread, 2)
+        _note(f"stage-1 serving: {result['train_step_kf_per_sec']} kf/s; "
+              "exact f32...")
+        med_f32, _ = _bench_train_step(batch_size, "exact")
+        result["train_step_kf_per_sec_f32"] = round(med_f32, 2)
+        _note(f"stage-1 exact: {result['train_step_kf_per_sec_f32']} kf/s; "
+              "stage-4 step...")
+        med_s4, spread_s4 = _bench_train_step_stage4(batch_size)
+        result["train_step_stage4_kf_per_sec"] = round(med_s4, 2)
+        result["train_step_stage4_kf_per_sec_spread"] = round(spread_s4, 2)
 
     print(json.dumps(result))
 
 
-def _bench_train_step(batch_size: int):
-    """Stage-1 (depth bootstrap) jitted train-step throughput: forward +
-    depth_loss + backward + adam update. Returns (median, spread) over
-    several timing windows — steady-state, robust to axon-tunnel jitter."""
-    import time
-
-    import jax
+def _time_step_windows(step, state, batch, rng, batch_size):
+    """Median + spread of a donated (state, batch, rng, alpha)->(state, loss)
+    step over several timing windows — steady-state, robust to axon-tunnel
+    jitter (single-window numbers vary ~10% between runs). The returned
+    alpha chains on the previous loss so each window is a real device
+    fence."""
     import jax.numpy as jnp
+
+    alpha = jnp.float32(0.5)
+    _note("compiling train step...")
+    state, loss = step(state, batch, rng, alpha)
+    float(loss)  # compile + warmup
+    _note("train step compiled")
+    for _ in range(3):
+        state, loss = step(state, batch, rng, 0.5 + loss * 1e-12)
+    float(loss)
+
+    rates = []
+    iters = 5
+    for _ in range(5):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, loss = step(state, batch, rng, 0.5 + loss * 1e-12)
+        float(loss)
+        rates.append(batch_size * iters / (time.perf_counter() - t0))
+    rates.sort()
+    return rates[len(rates) // 2], rates[-1] - rates[0]
+
+
+def _bench_train_step(batch_size: int, policy: str):
+    """Stage-1 (depth bootstrap) jitted train-step throughput: forward +
+    depth_loss + backward + adam update, under the given precision policy
+    ("serving" = bf16 warps/convs with f32 params/grads/losses — measured
+    stage-1 loss trajectory tracks f32 within 6e-5 relative after 30 steps;
+    "exact" = the f32 reference-parity configuration)."""
+    import jax
 
     from __graft_entry__ import _make_batch
     from monorec_tpu.losses import depth_loss
     from monorec_tpu.models import MonoRec, MonoRecConfig
-    from monorec_tpu.precision import set_precision
+    from monorec_tpu.precision import apply_to_model_kwargs
     from monorec_tpu.train.state import create_train_state, make_optimizer
 
-    # Mixed-precision training policy: bf16 warps (CV + loss reprojection)
-    # and bf16 U-Net conv compute, f32 params/grads/losses. Measured stage-1
-    # loss trajectory tracks f32 within 6e-5 relative after 30 steps.
-    set_precision("serving")
+    _set_policy(policy)
     model = MonoRec(
         MonoRecConfig(
             cv_depth_steps=32, pretrain_mode=1, pretrain_dropout=0.5,
-            augmentation="depth",
-            cv_warp_dtype="bfloat16",
-            compute_dtype="bfloat16",
+            augmentation="depth", **apply_to_model_kwargs({}),
         )
     )
     batch = _make_batch(batch_size, 256, 512, 2, stereo=True, mask=False)
@@ -171,10 +226,7 @@ def _bench_train_step(batch_size: int):
     # the step consumes the previous state's buffers in place, saving the
     # params/opt-state copies (measured ~6 ms/step at batch 8).
     @functools.partial(jax.jit, donate_argnums=(0,))
-    def step(state, batch, rng, eps):
-        batch = dict(batch)
-        batch["keyframe"] = batch["keyframe"] + eps
-
+    def step(state, batch, rng, alpha):
         def losses(params):
             out = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
@@ -184,33 +236,69 @@ def _bench_train_step(batch_size: int):
                     "augment": jax.random.fold_in(rng, 1),
                 },
             )
-            return depth_loss({**batch, **out}, 0.5, None, options)["loss"]
+            return depth_loss({**batch, **out}, alpha, None, options)["loss"]
 
         loss, grads = jax.value_and_grad(losses)(state.params)
         return state.apply_gradients(grads), loss
 
-    rng = jax.random.PRNGKey(1)
-    eps = jnp.float32(0.0)
-    _note("compiling train step...")
-    state, loss = step(state, batch, rng, eps)
-    float(loss)  # compile + warmup
-    _note("train step compiled")
-    for _ in range(3):
-        state, loss = step(state, batch, rng, loss * 1e-12)
-    float(loss)
+    return _time_step_windows(
+        step, state, batch, jax.random.PRNGKey(1), batch_size
+    )
 
-    # Median + spread over windows: single-window numbers vary ~10% between
-    # runs on the axon tunnel (the r02 36.97 vs README 41.5 discrepancy).
-    rates = []
-    iters = 5
-    for _ in range(5):
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            state, loss = step(state, batch, rng, loss * 1e-12)
-        float(loss)
-        rates.append(batch_size * iters / (time.perf_counter() - t0))
-    rates.sort()
-    return rates[len(rates) // 2], rates[-1] - rates[0]
+
+def _bench_train_step_stage4(batch_size: int):
+    """Stage-4 (depth refinement) MonoRecTrainer step throughput under the
+    serving policy: stereo CV pass + stereo depth (stop-grad), mono CV pass,
+    MaskModule (frozen, as monorec_depth_ref.json freezes "att"),
+    mult_mask_on_cv, mono depth decode, depth_refinement_loss with
+    options=(stereo, stereo_repr). This is the heaviest step of the 4-stage
+    curriculum (reference ``trainer/monorec_trainer.py:21-122`` +
+    ``configs/train/monorec/monorec_depth_ref.json``)."""
+    import jax
+
+    from __graft_entry__ import _OneBatchLoader, _make_batch
+    from monorec_tpu.losses import depth_refinement_loss
+    from monorec_tpu.models import MonoRec, MonoRecConfig
+    from monorec_tpu.precision import apply_to_model_kwargs
+    from monorec_tpu.train import MonoRecTrainer
+    from monorec_tpu.train.state import create_train_state, make_optimizer
+
+    _set_policy("serving")
+    model = MonoRec(
+        MonoRecConfig(
+            cv_depth_steps=32, pretrain_mode=0, augmentation="depth",
+            freeze_module=("att",), **apply_to_model_kwargs({}),
+        )
+    )
+    batch = _make_batch(batch_size, 256, 512, 2, stereo=True, mask=False)
+    tx = make_optimizer({"type": "Adam", "args": {"lr": 1e-5, "amsgrad": True}})
+    state = create_train_state(model, batch, jax.random.PRNGKey(0), tx)
+    trainer = MonoRecTrainer(
+        model, depth_refinement_loss, [], state,
+        {
+            "trainer": {
+                "compute_mono_pred": True,
+                "compute_stereo_pred": True,
+                "compute_mask": True,
+                "mult_mask_on_cv": True,
+                "epochs": 1,
+                "alpha": 0.5,
+                "tensorboard": False,
+            }
+        },
+        data_loader=_OneBatchLoader(batch, batch_size),
+        run_dir="/tmp/monorec_bench_stage4",
+        options=("stereo", "stereo_repr"),
+    )
+    trainer._build_steps()
+
+    def step(state, b, rng, alpha):
+        new_state, loss_dict, _, _ = trainer._train_step(state, b, rng, alpha)
+        return new_state, loss_dict["loss"]
+
+    return _time_step_windows(
+        step, trainer.state, batch, jax.random.PRNGKey(1), batch_size
+    )
 
 
 if __name__ == "__main__":

@@ -40,7 +40,10 @@ _MODEL_CONFIG_KEYS = {
     "compute_dtype",
 }
 
-_LOADER_KEYS = {"batch_size", "shuffle", "validation_split", "num_workers", "drop_last"}
+_LOADER_KEYS = {
+    "batch_size", "shuffle", "validation_split", "num_workers", "drop_last",
+    "start", "end", "every_nth",
+}
 
 # reference dataloader class name -> dataset class name
 _DATALOADER_TO_DATASET = {
@@ -91,9 +94,20 @@ def build_dataset(type_name: str, args: Dict):
 
 def build_dataloader(block: Dict, device_put: bool = True):
     from monorec_tpu.data import DataLoader
+    from monorec_tpu.data.loader import DatasetWrapper
 
     args = dict(block["args"])
     dataset = build_dataset(block["type"], args)
+    # Optional start/end/every_nth view (the reference's DS_Wrapper,
+    # utils/util.py:148) — lets a config evaluate a slice, e.g. the only
+    # fully-populated keyframe of the committed seq-07 fixture.
+    if any(k in args for k in ("start", "end", "every_nth")):
+        dataset = DatasetWrapper(
+            dataset,
+            start=args.get("start", 0),
+            end=args.get("end", -1),
+            every_nth=args.get("every_nth", 1),
+        )
     return DataLoader(
         dataset,
         batch_size=args.get("batch_size", 1),

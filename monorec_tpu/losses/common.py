@@ -48,18 +48,28 @@ def compute_errors(img0: Array, img1: Array) -> Array:
     return 0.85 * jnp.mean(s, axis=-1) + 0.15 * jnp.mean(jnp.abs(img0 - img1), axis=-1)
 
 
-def compute_errors_planar(img0: Array, img1: Array) -> Array:
+def compute_errors_planar(
+    img0: Array, img1: Array, img1_is_data: bool = True
+) -> Array:
     """``compute_errors`` in planar layout: (..., C, H, W) in, (..., H, W)
-    out. The hot formulation on TPU — every (H, W) op runs with W in lanes
-    instead of C=3 (see ``ssim_planar``); values match ``compute_errors``
-    up to f32 window-sum reordering (~1e-7).
+    out, always float32. The hot formulation on TPU — every (H, W) op runs
+    with W in lanes instead of C=3 (see ``ssim_planar``); values match
+    ``compute_errors`` up to f32 window-sum reordering (~1e-7).
+
+    GRADIENT CONTRACT: ``img1`` is treated as DATA — its gradient is zero on
+    the kernel path below (``photo_error``'s custom VJP hard-zeros it), while
+    the jnp fallback would differentiate both inputs. Every caller in this
+    module passes the keyframe (a dataset tensor) as ``img1``, so the
+    asymmetry is invisible; a caller that needs d/d(img1) (e.g. scoring two
+    model outputs against each other) must pass ``img1_is_data=False``,
+    which forces the symmetric jnp path on every backend.
 
     On TPU with kernel-friendly shapes this dispatches to the fused Pallas
     photometric-error kernel (``ops/pallas/photo_error.py``): the five 3x3
     window stats, the SSIM formula and the L1 mix are evaluated in VMEM
     with an analytic backward, instead of XLA materializing each stat as a
     full (M, C, H, W) stack (measured ~23 ms/step in the stage-1 loss)."""
-    if img0.ndim == 4:
+    if img0.ndim == 4 and img1_is_data:
         from monorec_tpu.ops.pallas.photo_error import BROWS, photo_error
 
         _, _, h, w = img0.shape
@@ -72,9 +82,13 @@ def compute_errors_planar(img0: Array, img1: Array) -> Array:
     s = ssim_planar(
         img0, img1, pad_reflection=False, gaussian_average=True, comp_mode=True
     )
-    return 0.85 * jnp.mean(s, axis=-3) + 0.15 * jnp.mean(
+    out = 0.85 * jnp.mean(s, axis=-3) + 0.15 * jnp.mean(
         jnp.abs(img0 - img1), axis=-3
     )
+    # One dtype contract across backends: the kernel accumulates and returns
+    # f32 whatever the input dtype; match it here so bf16 inputs don't yield
+    # backend-dependent output dtypes.
+    return out.astype(jnp.float32)
 
 
 def _gather_frames(data: Dict, use_mono: bool, use_stereo: bool):

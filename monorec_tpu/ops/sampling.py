@@ -14,11 +14,33 @@ where S is the extent along that axis. Out-of-bounds taps contribute zero.
 from __future__ import annotations
 
 import functools
+import logging
 
 import jax
 import jax.numpy as jnp
 
 Array = jax.Array
+
+logger = logging.getLogger(__name__)
+_warned_rows_gate = False
+
+
+def _warn_rows_gate(h: int, rows: int) -> None:
+    """The Pallas kernel's true row minimum is 16; the default block height
+    is ROWS=32 (~4% faster at 256x512). A height that is a multiple of 16
+    but not of ROWS falls back to the ~10x slower serial-gather XLA path —
+    that quiet perf cliff must be loud (once per process)."""
+    global _warned_rows_gate
+    if _warned_rows_gate:
+        return
+    _warned_rows_gate = True
+    logger.warning(
+        "grid_sample: height %d is not divisible by the kernel block height "
+        "ROWS=%d, so the warp falls back to the serial XLA gather path "
+        "(~10x slower). Set MONOREC_GW_ROWS=16 (env, read at import) to "
+        "restore kernel eligibility for 16-divisible heights.",
+        h, rows,
+    )
 
 
 def _unnormalize(coord: Array, size: int) -> Array:
@@ -148,6 +170,8 @@ def grid_sample_planar(
             and h % ROWS == 0
             and w % COLS == 0
         )
+        if on_tpu and not ok and h % 16 == 0 and h % ROWS != 0 and w % COLS == 0:
+            _warn_rows_gate(h, ROWS)
         backend = "tpu" if (on_tpu and ok) else "xla"
     if backend == "tpu":
         kdtype = jnp.float32 if kernel_dtype is None else kernel_dtype
@@ -205,6 +229,8 @@ def grid_sample_nhwc(
             and h % ROWS == 0
             and w % COLS == 0
         )
+        if on_tpu and not ok and h % 16 == 0 and h % ROWS != 0 and w % COLS == 0:
+            _warn_rows_gate(h, ROWS)
         backend = "tpu" if (on_tpu and ok) else "xla"
     if backend == "tpu":
         out = grid_sample_planar(

@@ -17,15 +17,25 @@ parity configuration).
 
 Select via the top-level ``"precision"`` key of a JSON config ("exact" |
 "serving", default "exact") or programmatically with ``set_precision``.
-The loss warp dtype is read at trace time — set the policy before building
-jitted train steps.
+The policy is read at trace time — set it BEFORE building jitted train
+steps. A jitted function keeps the dtypes it was traced with forever
+(changing the policy does not retrace it), so ``set_precision`` warns with
+a ``PrecisionPolicyWarning`` when the previous policy was already consumed
+by a trace: everything built before the call must be rebuilt to pick up
+the new policy.
 """
 
 from __future__ import annotations
 
-from typing import Dict
+import warnings
+from typing import Dict, Optional
 
 import jax.numpy as jnp
+
+
+class PrecisionPolicyWarning(UserWarning):
+    """Raised when the precision policy changes after being consumed at
+    trace time — previously built jitted functions keep the old dtypes."""
 
 POLICIES: Dict[str, Dict[str, str]] = {
     # bit-faithful to the reference: f32 everywhere
@@ -45,12 +55,33 @@ POLICIES: Dict[str, Dict[str, str]] = {
 }
 
 _current = "exact"
+# Name of the policy last consumed at trace/construction time (by
+# loss_warp_dtype inside a trace or apply_to_model_kwargs at model build).
+# None until first consumption, and reset by set_precision: code built
+# AFTER a set_precision call correctly sees the new policy; the warning is
+# about code built BEFORE it.
+_consumed: Optional[str] = None
 
 
 def set_precision(name: str) -> None:
-    global _current
+    global _current, _consumed
     if name not in POLICIES:
         raise ValueError(f"unknown precision policy {name!r}; one of {sorted(POLICIES)}")
+    if _consumed is not None and name != _current:
+        warnings.warn(
+            f"set_precision({name!r}): the {_current!r} policy was already "
+            "consumed at trace time in this process. Jitted functions and "
+            "models built before this call keep their traced dtypes (jit "
+            "does not retrace on policy changes) — rebuild them to pick up "
+            f"the {name!r} policy.",
+            PrecisionPolicyWarning,
+            stacklevel=2,
+        )
+    if name != _current:
+        # Code built from here on sees the new policy; consumption memory
+        # restarts. A same-name call changes nothing, so the memory (that
+        # something was built under this policy) is kept.
+        _consumed = None
     _current = name
 
 
@@ -60,6 +91,8 @@ def precision_policy() -> str:
 
 def loss_warp_dtype():
     """Kernel-path source dtype for the loss reprojection warps."""
+    global _consumed
+    _consumed = _current
     return (
         jnp.bfloat16
         if POLICIES[_current]["loss_warp_dtype"] == "bfloat16"
@@ -71,6 +104,8 @@ def apply_to_model_kwargs(kwargs: Dict) -> Dict:
     """Fill cv_warp_dtype / compute_dtype from the active policy unless the
     config sets them explicitly (explicit per-knob values win, so a config
     can still pin e.g. an exact cost volume under the serving policy)."""
+    global _consumed
+    _consumed = _current
     policy = POLICIES[_current]
     out = dict(kwargs)
     out.setdefault("cv_warp_dtype", policy["cv_warp_dtype"])

@@ -190,7 +190,16 @@ def create_train_state(
         "dropout": jax.random.fold_in(rng, 1),
         "augment": jax.random.fold_in(rng, 2),
     }
-    variables = model.init(rngs, batch, train)
+    # Init as ONE compiled program: eager init dispatches hundreds of ops,
+    # and on a remote-tunnel backend (axon) each is a network round trip —
+    # measured ~7 minutes for the full model at 256x512 vs seconds jitted.
+    # Non-array metadata leaves (e.g. a dataset's "sequence" strings) can't
+    # be traced and aren't read by the model; drop them.
+    array_batch = {
+        k: v for k, v in batch.items()
+        if hasattr(v, "shape") or isinstance(v, (bool, int, float))
+    }
+    variables = jax.jit(lambda r, b: model.init(r, b, train))(rngs, array_batch)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     return TrainState(

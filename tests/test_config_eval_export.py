@@ -111,6 +111,36 @@ def test_config_precision_policy_round_trip(tmp_path):
         set_precision(prev)
 
 
+def test_set_precision_warns_after_trace_time_consumption():
+    """The policy is read at trace time; changing it afterwards silently
+    does nothing to already-built jitted steps — so it must warn."""
+    import warnings
+
+    from monorec_tpu import precision as prec
+
+    prev = prec.precision_policy()
+    prev_consumed = prec._consumed
+    try:
+        prec._consumed = None
+        prec.set_precision("exact")
+        prec.loss_warp_dtype()  # a trace consumes the policy
+        with pytest.warns(prec.PrecisionPolicyWarning):
+            prec.set_precision("serving")
+
+        # Building AFTER the switch is the correct usage: no warning.
+        with warnings.catch_warnings():
+            warnings.simplefilter("error", prec.PrecisionPolicyWarning)
+            prec.apply_to_model_kwargs({})  # consume under "serving"
+            prec.set_precision("serving")  # same-name: nothing is stale
+        # ...but the same-name call must not erase the consumption memory.
+        with pytest.warns(prec.PrecisionPolicyWarning):
+            prec.set_precision("exact")
+    finally:
+        prec._consumed = None
+        prec.set_precision(prev)
+        prec._consumed = prev_consumed
+
+
 @pytest.fixture(scope="module")
 def tiny_model_setup():
     ds = SyntheticSweepDataset(length=8, target_image_size=(32, 64))

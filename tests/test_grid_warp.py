@@ -222,29 +222,51 @@ def test_reprojection_loss_tpu_path_matches_xla():
 
     r_xla = reprojection_loss(inv_depth, data, automasking=True)
 
-    orig = sampling.grid_sample_nhwc
+    # The loss's hot path is grid_sample_planar (losses/common.py
+    # ``_warp_by_depth_planar``); force ITS kernel path — patching the NHWC
+    # wrapper alone would leave every call on the XLA gather path and make
+    # the assertions below vacuous.
+    orig = sampling.grid_sample_planar
+    calls = []
 
     def forced(images, grids, backend="xla", **kw):
         kw.pop("interpret", None)
+        calls.append(images.shape)
         return orig(images, grids, backend="tpu", interpret=True, **kw)
 
-    from monorec_tpu.losses import common as common_mod
-    from monorec_tpu.precision import precision_policy, set_precision
+    import warnings
 
-    common_mod.grid_sample_nhwc, sampling.grid_sample_nhwc = forced, forced
+    from monorec_tpu.losses import common as common_mod
+    from monorec_tpu.precision import (
+        PrecisionPolicyWarning,
+        precision_policy,
+        set_precision,
+    )
+
+    def set_policy(name):
+        # Each loss call below retraces after the switch, so the
+        # stale-trace warning doesn't apply to this pattern.
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", PrecisionPolicyWarning)
+            set_precision(name)
+
+    common_mod.grid_sample_planar, sampling.grid_sample_planar = forced, forced
     prev_policy = precision_policy()
     try:
         # bf16 source quantization (the serving policy): ~2^-8 relative drift.
-        set_precision("serving")
+        set_policy("serving")
         r_bf16, cov = reprojection_loss(
             inv_depth, data, automasking=True, with_coverage=True
         )
+        assert calls, "loss never routed through the forced kernel sampler"
+        n_kernel_calls = len(calls)
         # Exact-parity mode must match the XLA gather path to fp tolerance.
-        set_precision("exact")
+        set_policy("exact")
         r_f32 = reprojection_loss(inv_depth, data, automasking=True)
+        assert len(calls) > n_kernel_calls
     finally:
-        set_precision(prev_policy)
-        common_mod.grid_sample_nhwc, sampling.grid_sample_nhwc = orig, orig
+        set_policy(prev_policy)
+        common_mod.grid_sample_planar, sampling.grid_sample_planar = orig, orig
     np.testing.assert_allclose(float(r_f32), float(r_xla), atol=1e-5)
     np.testing.assert_allclose(float(r_bf16), float(r_xla), atol=2e-3)
     assert float(cov) == 0.0  # smooth in-range depths: fully covered

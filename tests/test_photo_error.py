@@ -66,3 +66,24 @@ def test_photo_error_keyframe_gets_no_gradient():
     x, y = _inputs(seed=3)
     g = jax.grad(lambda y: jnp.sum(photo_error(x, y, True)))(y)
     assert float(jnp.abs(g).max()) == 0.0
+
+
+def test_compute_errors_planar_dtype_and_symmetry_contract():
+    """compute_errors_planar returns f32 on every backend/input dtype, and
+    img1_is_data=False forces the symmetric-gradient jnp path (the kernel's
+    custom VJP hard-zeros d/d(img1))."""
+    from monorec_tpu.losses.common import compute_errors_planar
+
+    x, y = _inputs(seed=4)
+    out_f32 = compute_errors_planar(x, y)
+    out_bf16 = compute_errors_planar(
+        x.astype(jnp.bfloat16), y.astype(jnp.bfloat16)
+    )
+    assert out_f32.dtype == jnp.float32
+    assert out_bf16.dtype == jnp.float32
+
+    # Symmetric path: img1 receives a nonzero gradient.
+    g = jax.grad(
+        lambda y: jnp.sum(compute_errors_planar(x, y, img1_is_data=False))
+    )(y)
+    assert float(jnp.abs(g).max()) > 0.0

@@ -48,6 +48,58 @@ def test_shard_batch_warns_on_silent_replication(caplog):
     assert not out["keyframe"].sharding.is_fully_replicated
 
 
+def test_multidevice_numerical_equivalence_stage1():
+    """The DataParallel guarantee the reference gets implicitly
+    (base/base_trainer.py:26-29): the same divisible batch through the same
+    params yields the same loss and updated params on an 8-device mesh as
+    on 1 device. Proves the PartitionSpecs are correct (a wrong sharding
+    that e.g. averaged gradients over half the batch would still be
+    finite)."""
+    ds = SyntheticSweepDataset(length=8, target_image_size=(32, 64), frame_count=2)
+    dl = DataLoader(ds, batch_size=8, shuffle=False, num_workers=1, seed=11)
+    model = MonoRec(
+        MonoRecConfig(cv_depth_steps=4, pretrain_mode=1, augmentation="depth")
+    )
+    batch = next(iter(dl))
+    # SGD, not Adam: the equivalence under test is the gradient all-reduce.
+    # With SGD the param delta is lr*grad, so a ~1e-7 f32 reduction-order
+    # difference stays ~1e-9 in the params. Adam's first step is
+    # sign-like (m/sqrt(v) ~ +-1), which amplifies the same harmless
+    # reordering noise to ~2*lr wherever a near-zero gradient flips sign —
+    # that would test float round-off, not the sharding.
+    tx = make_optimizer({"type": "SGD", "args": {"lr": 1e-2}})
+
+    def run(n_devices):
+        mesh = make_mesh(n_devices)
+        state = create_train_state(model, batch, jax.random.PRNGKey(0), tx)
+        trainer = Trainer(
+            model, depth_loss, [], state,
+            {"trainer": {"epochs": 1, "len_epoch": 1, "alpha": 0.5,
+                         "tensorboard": False, "log_step": 100}},
+            dl, run_dir="/tmp/monorec_equiv_test", mesh=mesh,
+        )
+        trainer._build_steps()
+        sharded = shard_batch(batch, mesh)
+        new_state, loss_dict, _, _ = trainer._train_step(
+            trainer.state, sharded, jax.random.PRNGKey(1), jnp.float32(0.5)
+        )
+        return float(loss_dict["loss"]), jax.tree_util.tree_map(
+            np.asarray, new_state.params
+        )
+
+    loss_1, params_1 = run(1)
+    loss_8, params_8 = run(8)
+    np.testing.assert_allclose(loss_8, loss_1, rtol=1e-5)
+    # atol absorbs f32 reduction-order noise on near-zero leaves (measured
+    # max 1.1e-7 on a ~1e-6 bias); a sharding bug (e.g. gradients averaged
+    # over half the batch) shifts params by ~0.5*lr*grad >> 5e-7 and the
+    # loss itself, so it cannot hide inside these tolerances.
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-5, atol=5e-7),
+        params_1, params_8,
+    )
+
+
 def test_2d_mesh_train_step():
     """The mesh axes stay abstract (mesh.py docstring): a (data=4, model=2)
     mesh with the batch sharded over "data" only runs a full stage-1 train
