@@ -147,10 +147,17 @@ def mask_loss(data: Dict, alpha=None, roi=None, options=()) -> Dict[str, Array]:
 
 
 def mask_refinement_loss(data: Dict, alpha=None, roi=None, options=()) -> Dict[str, Array]:
-    """Stage-3 mask refinement (reference :99-219)."""
+    """Stage-3 mask refinement (reference :99-219).
+
+    Like ``depth_loss``, all 4 scales of each reprojection branch run
+    through ONE batched pass (scale-major stacking) — one warp-kernel
+    program + one SSIM stack for the mono branch and one for the stereo
+    branch per step, instead of one of each per scale. Per-scale values
+    are recovered by reshaping; numerically identical.
+    """
     alpha = 0.5 if alpha is None else alpha
     gt = _clamped_gt(data)
-    h, w = gt.shape[1:3]
+    b, h, w = gt.shape[0:3]
     cv_mask = data["cv_mask"]
     gt_mask = data["mvobj_mask"] > 0.5
     inv_depth_min = data["inv_depth_min"]
@@ -163,14 +170,30 @@ def mask_refinement_loss(data: Dict, alpha=None, roi=None, options=()) -> Dict[s
     sdl_sum = 0.0
     md2l_sum = 0.0
     mask_loss_value = 0.0
-    cov_sum = 0.0
+
+    mono_preds = [upsample_nearest_to(p, h, w) for p in data["mono_pred"]]
+    stereo_preds = [upsample_nearest_to(p, h, w) for p in data["stereo_pred"]]
+    s = len(mono_preds)
+    tiled = tile_batch_for_scales(data, s)
+    mono_repr_all, cov_m = reprojection_loss(
+        jnp.concatenate(mono_preds, axis=0), tiled,
+        use_mono=True, use_stereo=False,
+        automasking=False, reduce=False, combine_frames="min",
+        with_coverage=True,
+    )
+    mono_repr_all = mono_repr_all.reshape(s, b, h, w, 1)
+    stereo_repr_all, cov_s = reprojection_loss(
+        jnp.concatenate(stereo_preds, axis=0), tiled,
+        use_mono=False, use_stereo=True,
+        automasking=False, reduce=False, combine_frames="min", border=3,
+        with_coverage=True,
+    )
+    stereo_repr_all = stereo_repr_all.reshape(s, b, h, w, 1)
+    cov_sum = cov_m + cov_s
 
     for scale, (mono_pred, stereo_pred) in enumerate(
-        zip(data["mono_pred"], data["stereo_pred"])
+        zip(mono_preds, stereo_preds)
     ):
-        mono_pred = upsample_nearest_to(mono_pred, h, w)
-        stereo_pred = upsample_nearest_to(stereo_pred, h, w)
-
         mono_sdl, mono_inv = sparse_depth_loss(mono_pred, gt, reduce=False)
         stereo_sdl, stereo_inv = sparse_depth_loss(stereo_pred, gt, reduce=False)
 
@@ -181,18 +204,20 @@ def mask_refinement_loss(data: Dict, alpha=None, roi=None, options=()) -> Dict[s
         loss_dict[f"sdl_{scale}"] = sdl
 
         if "dist_diff_loss" in options:
-            b = 16 // (2**scale)
+            b_box = 16 // (2**scale)
             mono_thresh = jax.lax.stop_gradient(mono_pred) < (
                 inv_depth_range / 32 * 2 + inv_depth_max
             )
             dd = (mono_thresh & gt_mask).astype(jnp.float32)
             # (b+1)x(b+1) box count >= (b+1)^2/4 -> dilated majority vote.
             box = jax.lax.reduce_window(
-                jnp.pad(dd, ((0, 0), (b // 2, b - b // 2), (b // 2, b - b // 2), (0, 0))),
-                0.0, jax.lax.add, (1, b + 1, b + 1, 1), (1, 1, 1, 1), "VALID",
+                jnp.pad(dd, ((0, 0), (b_box // 2, b_box - b_box // 2),
+                             (b_box // 2, b_box - b_box // 2), (0, 0))),
+                0.0, jax.lax.add, (1, b_box + 1, b_box + 1, 1), (1, 1, 1, 1),
+                "VALID",
             )
-            dd_mask = box >= ((b + 1) ** 2) / 4
-            crop = lambda t: t[:, b * 4 : -b, b : -b, :]
+            dd_mask = box >= ((b_box + 1) ** 2) / 4
+            crop = lambda t: t[:, b_box * 4 : -b_box, b_box : -b_box, :]
             dd_c = crop(dd_mask)
             logp = -jnp.log(jnp.clip(crop(cv_mask), 1e-12, 1.0))
             dist_diff = jnp.sum(jnp.where(dd_c, logp, 0.0)) / jnp.maximum(
@@ -209,19 +234,8 @@ def mask_refinement_loss(data: Dict, alpha=None, roi=None, options=()) -> Dict[s
         stereo_sm = edge_aware_smoothness_loss(stereo_pred, data["keyframe"], reduce=False)
         smoothness = jnp.mean(mono_sm * (1 - cv_mask) + stereo_sm * cv_mask)
 
-        mono_repr, cov_m = reprojection_loss(
-            mono_pred, data, use_mono=True, use_stereo=False,
-            automasking=False, reduce=False, combine_frames="min",
-            with_coverage=True,
-        )
-        mono_repr = mono_repr[..., None]
-        stereo_repr, cov_s = reprojection_loss(
-            stereo_pred, data, use_mono=False, use_stereo=True,
-            automasking=False, reduce=False, combine_frames="min", border=3,
-            with_coverage=True,
-        )
-        stereo_repr = stereo_repr[..., None]
-        cov_sum += cov_m + cov_s
+        mono_repr = mono_repr_all[scale]
+        stereo_repr = stereo_repr_all[scale]
 
         mono_inf = jnp.isinf(mono_repr)
         stereo_inf = jnp.isinf(stereo_repr)
@@ -265,25 +279,48 @@ def depth_refinement_loss(data: Dict, alpha=None, roi=None, options=()) -> Dict[
     use_mono_stereodl = "no_mono_stereodl" not in options
 
     gt = _clamped_gt(data)
-    h, w = gt.shape[1:3]
+    b, h, w = gt.shape[0:3]
     cv_mask = data["cv_mask"]
     cv_disc = (cv_mask > 0.5).astype(jnp.float32)
     ratio = jnp.sum(cv_disc) / cv_disc.size
 
     loss_dict: Dict[str, Array] = {}
     sdl_sum = 0.0
-    cov_sum = 0.0
     md2l_sum = 0.0
 
     stereo_preds = (
         data["stereo_pred"] if use_mono_stereodl else [None] * len(data["mono_pred"])
     )
 
-    for scale, (mono_pred, stereo_pred) in enumerate(
-        zip(data["mono_pred"], stereo_preds)
-    ):
-        mono_pred = upsample_nearest_to(mono_pred, h, w)
+    # All 4 scales of each reprojection branch in ONE batched pass (the
+    # depth_loss pattern): one warp-kernel program + one SSIM stack for the
+    # mono(+temporal-stereo) branch and one for the stereo branch, with the
+    # scale-invariant automasking errors computed once — instead of 4
+    # separate passes each recomputing them. Per-scale masked means come
+    # from reshaping; numerically identical.
+    mono_preds = [upsample_nearest_to(p, h, w) for p in data["mono_pred"]]
+    s = len(mono_preds)
+    stacked = jnp.concatenate(mono_preds, axis=0)
+    tiled = tile_batch_for_scales(data, s)
+    am = identity_reprojection_errors(data, use_mono=True, use_stereo=use_stereo)
+    mono_repr_all, cov_sum = reprojection_loss(
+        stacked, tiled, use_mono=True, use_stereo=use_stereo,
+        automasking=True, reduce=False, combine_frames="min",
+        automask_errors=jnp.tile(am, (s, 1, 1, 1)), with_coverage=True,
+    )
+    mono_repr_all = mono_repr_all.reshape(s, b, h, w, 1)
+    if use_stereo_reprl:
+        st_repr_all, cov_s = reprojection_loss(
+            stacked, tiled, use_mono=False, use_stereo=True,
+            automasking=False, reduce=False, combine_frames="min", border=3,
+            with_coverage=True,
+        )
+        st_repr_all = st_repr_all.reshape(s, b, h, w, 1)
+        cov_sum = cov_sum + cov_s
 
+    for scale, (mono_pred, stereo_pred) in enumerate(
+        zip(mono_preds, stereo_preds)
+    ):
         mono_sdl_map, mono_inv = sparse_depth_loss(
             mono_pred, gt * (1 - cv_disc), reduce=False
         )
@@ -311,24 +348,12 @@ def depth_refinement_loss(data: Dict, alpha=None, roi=None, options=()) -> Dict[
         # result; meaning here keeps the loss scalar with identical value.
         smoothness = jnp.mean(smooth_map)
 
-        mono_repr, cov_m = reprojection_loss(
-            mono_pred, data, use_mono=True, use_stereo=use_stereo,
-            automasking=True, reduce=False, combine_frames="min",
-            with_coverage=True,
-        )
-        mono_repr = mono_repr[..., None]
-        cov_sum += cov_m
+        mono_repr = mono_repr_all[scale]
         mono_inf = jnp.isinf(mono_repr) | (cv_disc > 0.5)
         mono_repr = mask_mean(jnp.where(mono_inf, 0.0, mono_repr), mono_inf)
 
         if use_stereo_reprl:
-            st_repr, cov_s = reprojection_loss(
-                mono_pred, data, use_mono=False, use_stereo=True,
-                automasking=False, reduce=False, combine_frames="min", border=3,
-                with_coverage=True,
-            )
-            st_repr = st_repr[..., None]
-            cov_sum += cov_s
+            st_repr = st_repr_all[scale]
             st_inf = jnp.isinf(st_repr) | (cv_disc <= 0.5)
             st_repr = mask_mean(jnp.where(st_inf, 0.0, st_repr), st_inf)
         else:

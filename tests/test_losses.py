@@ -189,3 +189,101 @@ def test_refinement_losses_run_and_are_finite():
     assert np.isfinite(float(out["loss"]))
     out = M.depth_aux_mask_loss(data)
     assert np.isfinite(float(out["loss"]))
+
+
+def test_batched_scale_reprojection_equals_per_scale():
+    """The refinement losses run all 4 scales through ONE batched
+    reprojection pass (scale-major stacking via tile_batch_for_scales).
+    Pin that formulation — value AND gradient — against independent
+    per-scale reprojection_loss calls, for both branch configurations the
+    refinement losses use (mono+stereo automasked min; stereo-only
+    border=3)."""
+    rng = np.random.default_rng(5)
+    data = _data(rng, stereo=True)
+    preds = [
+        jnp.asarray(rng.uniform(0.05, 0.33, (B, H, W, 1)).astype(np.float32))
+        for _ in range(4)
+    ]
+    s = len(preds)
+    tiled = C.tile_batch_for_scales(data, s)
+
+    def batched(stacked, **kw):
+        out = C.reprojection_loss(stacked, tiled, reduce=False,
+                                  combine_frames="min", **kw)
+        return out.reshape(s, B, H, W)
+
+    for kw in (
+        dict(use_mono=True, use_stereo=True, automasking=True,
+             automask_errors=jnp.tile(
+                 C.identity_reprojection_errors(data, use_mono=True,
+                                                use_stereo=True),
+                 (s, 1, 1, 1))),
+        dict(use_mono=False, use_stereo=True, automasking=False, border=3),
+    ):
+        stacked = jnp.concatenate(preds, axis=0)
+        maps = batched(stacked, **kw)
+        kw_single = {k: v for k, v in kw.items() if k != "automask_errors"}
+        for i, p in enumerate(preds):
+            single = C.reprojection_loss(
+                p, data, reduce=False, combine_frames="min", **kw_single
+            )
+            np.testing.assert_allclose(
+                np.asarray(maps[i]), np.asarray(single), rtol=1e-5, atol=1e-6
+            )
+
+        # Gradient parity: sum of per-scale masked means (how the
+        # refinement losses consume the reshaped maps).
+        def red(e):
+            inv = jnp.isinf(e)
+            return C.mask_mean(jnp.where(inv, 0.0, e), inv)
+
+        g_b = jax.grad(
+            lambda st: sum(red(m) for m in batched(st, **kw))
+        )(stacked)
+        g_s = jnp.concatenate(
+            [
+                jax.grad(
+                    lambda p: red(C.reprojection_loss(
+                        p, data, reduce=False, combine_frames="min",
+                        **kw_single))
+                )(p)
+                for p in preds
+            ],
+            axis=0,
+        )
+        np.testing.assert_allclose(
+            np.asarray(g_b), np.asarray(g_s), rtol=1e-4, atol=1e-6
+        )
+
+
+def test_refinement_loss_gradients_finite_and_nonzero():
+    """Gradients of both refinement losses w.r.t. the mono predictions
+    flow (finite, not identically zero) through the batched-scale path."""
+    rng = np.random.default_rng(6)
+    data = _data(rng, stereo=True)
+    gt = rng.uniform(0.01, 0.3, (B, H, W, 1)).astype(np.float32)
+    gt[rng.uniform(0, 1, gt.shape) > 0.3] = 0.0
+    data["target"] = jnp.asarray(gt)
+    data["cv_mask"] = jnp.asarray(rng.uniform(0, 1, (B, H, W, 1)).astype(np.float32))
+    data["mvobj_mask"] = jnp.asarray(
+        (rng.uniform(0, 1, (B, H, W, 1)) > 0.9).astype(np.float32)
+    )
+    data["inv_depth_min"] = jnp.float32(0.33)
+    data["inv_depth_max"] = jnp.float32(0.0025)
+    preds = lambda: [
+        jnp.asarray(rng.uniform(0.01, 0.33, (B, H // s, W // s, 1)).astype(np.float32))
+        for s in (1, 2, 4, 8)
+    ]
+    data["stereo_pred"] = preds()
+
+    for fn, opts in (
+        (M.mask_refinement_loss, ("mask_loss",)),
+        (M.depth_refinement_loss, ("stereo", "stereo_repr")),
+    ):
+        grads = jax.grad(
+            lambda mp: fn({**data, "mono_pred": mp}, options=opts)["loss"]
+        )(preds())
+        for g in grads:
+            a = np.asarray(g)
+            assert np.isfinite(a).all()
+            assert np.abs(a).max() > 0
