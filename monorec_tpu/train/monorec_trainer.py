@@ -36,7 +36,7 @@ from monorec_tpu.models.augmentation import (
 )
 from monorec_tpu.models.monorec import MonoRec
 from monorec_tpu.train.state import TrainState
-from monorec_tpu.train.trainer import Trainer
+from monorec_tpu.train.trainer import Trainer, apply_gradients_guarded
 
 
 class MonoRecTrainer(Trainer):
@@ -198,10 +198,14 @@ class MonoRecTrainer(Trainer):
                 return loss_dict["loss"], (loss_dict, data)
 
             grads, (loss_dict, data) = jax.grad(losses, has_aux=True)(state.params)
-            new_state = state.apply_gradients(grads)
+            new_state, skipped = apply_gradients_guarded(
+                state, grads, self.skip_nonfinite_updates
+            )
             metrics = compute_metrics(data)
             if "cv_uncovered" in data:
                 loss_dict = dict(loss_dict, cv_uncovered=jnp.sum(data["cv_uncovered"]))
+            if skipped is not None:
+                loss_dict = dict(loss_dict, skipped_nonfinite=skipped)
             viz = {"result": data["result"], "mask": data.get("mask")}
             return new_state, loss_dict, metrics, viz
 

@@ -29,6 +29,37 @@ from monorec_tpu.train.state import TrainState
 from monorec_tpu.utils import ValueFader, operator_on_dict
 
 
+def apply_gradients_guarded(state: TrainState, grads, skip_nonfinite: bool):
+    """``state.apply_gradients``, optionally skipping non-finite updates.
+
+    Gates on GRADIENT finiteness, not the loss value: the refinement
+    losses can report a NaN loss through detached (zero-gradient) terms on
+    degenerate batches — reference ``mask_mean`` yields NaN on an
+    all-invalid reduction (``utils/util.py:110-118``) and
+    ``depth_refinement_loss`` feeds detached sdl terms into the reported
+    total (``monorec_loss.py:334-340``) — while the gradients stay finite.
+    Such steps must still apply, exactly as the reference's ``backward()``
+    would. A non-finite gradient, by contrast, would permanently poison
+    the optimizer state (the reference has no protection against this);
+    with the guard the whole update becomes a no-op (params, opt_state
+    and step keep their old values) and the step reports
+    ``skipped_nonfinite`` = 1.0.
+
+    Returns ``(new_state, skipped)``; ``skipped`` is None when the guard
+    is off (zero-cost path) else a 0/1 float scalar.
+    """
+    new_state = state.apply_gradients(grads)
+    if not skip_nonfinite:
+        return new_state, None
+    good = jnp.bool_(True)
+    for g in jax.tree_util.tree_leaves(grads):
+        good = good & jnp.all(jnp.isfinite(g))
+    guarded = jax.tree_util.tree_map(
+        lambda new, old: jnp.where(good, new, old), new_state, state
+    )
+    return guarded, (~good).astype(jnp.float32)
+
+
 class Trainer:
     """Generic trainer: full model forward + loss (stage 1 / depth bootstrap)."""
 
@@ -83,6 +114,10 @@ class Trainer:
         # to false when enabling this — the jitter then runs inside the
         # jitted train step instead of on the host loader thread).
         self.color_aug_on_device = tcfg.get("color_aug_on_device", False)
+        # Opt-in: turn steps with non-finite gradients into no-ops instead
+        # of letting them poison the optimizer state (see
+        # apply_gradients_guarded). Off by default for reference parity.
+        self.skip_nonfinite_updates = tcfg.get("skip_nonfinite_updates", False)
         self.value_faders = {
             k: ValueFader(v[0], v[1]) for k, v in tcfg.get("value_faders", {}).items()
         }
@@ -126,6 +161,7 @@ class Trainer:
             return jnp.stack([m(data, roi, max_distance) for m in metric_fns])
 
         color_aug = self.color_aug_on_device
+        skip_nf = self.skip_nonfinite_updates
 
         def train_step(state: TrainState, batch: Dict, rng, alpha):
             if color_aug:
@@ -148,10 +184,12 @@ class Trainer:
                 return loss_dict["loss"], (loss_dict, data)
 
             grads, (loss_dict, data) = jax.grad(losses, has_aux=True)(state.params)
-            new_state = state.apply_gradients(grads)
+            new_state, skipped = apply_gradients_guarded(state, grads, skip_nf)
             metrics = compute_metrics(data)
             if "cv_uncovered" in data:
                 loss_dict = dict(loss_dict, cv_uncovered=jnp.sum(data["cv_uncovered"]))
+            if skipped is not None:
+                loss_dict = dict(loss_dict, skipped_nonfinite=skipped)
             viz = {
                 "result": data["result"],
                 "mask": data.get("mask", None),

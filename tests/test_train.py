@@ -379,3 +379,56 @@ def test_stage2_mask_training_step():
     # mask-module params must receive gradient
     after = np.asarray(jax.tree_util.tree_leaves(new_state.params["att"])[0])
     assert not np.allclose(before, after)
+
+
+def test_apply_gradients_guarded_skips_nonfinite():
+    """skip_nonfinite_updates: a NaN/inf gradient turns the whole update
+    into a no-op (params, opt_state, step unchanged); finite gradients
+    apply exactly as the unguarded path. Off -> skipped is None and the
+    update always applies (reference-parity default)."""
+    import optax
+
+    from monorec_tpu.train.state import TrainState
+    from monorec_tpu.train.trainer import apply_gradients_guarded
+
+    params = {"w": jnp.ones((4,)), "b": jnp.zeros((2,))}
+    tx = optax.adam(1e-1)
+    state = TrainState(
+        step=0, params=params, batch_stats={}, opt_state=tx.init(params), tx=tx
+    )
+
+    finite = {"w": jnp.full((4,), 0.5), "b": jnp.ones((2,))}
+    bad = {"w": jnp.full((4,), 0.5).at[1].set(jnp.nan), "b": jnp.ones((2,))}
+
+    # Guard off: applies, skipped is None (zero-cost path).
+    st_off, skipped = apply_gradients_guarded(state, finite, False)
+    assert skipped is None
+    assert not np.allclose(st_off.params["w"], params["w"])
+
+    # Guard on + finite grads: identical update to the unguarded path.
+    st_ok, skipped = apply_gradients_guarded(state, finite, True)
+    assert float(skipped) == 0.0
+    np.testing.assert_array_equal(
+        np.asarray(st_ok.params["w"]), np.asarray(st_off.params["w"])
+    )
+    assert int(st_ok.step) == 1
+
+    # Guard on + NaN grad: full no-op, step does not advance.
+    st_bad, skipped = apply_gradients_guarded(state, bad, True)
+    assert float(skipped) == 1.0
+    np.testing.assert_array_equal(np.asarray(st_bad.params["w"]), np.asarray(params["w"]))
+    np.testing.assert_array_equal(np.asarray(st_bad.params["b"]), np.asarray(params["b"]))
+    assert int(st_bad.step) == 0
+    chex_leaves = jax.tree_util.tree_leaves(st_bad.opt_state)
+    orig_leaves = jax.tree_util.tree_leaves(state.opt_state)
+    for a, b in zip(chex_leaves, orig_leaves):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # Inside a donated jitted step (how the trainers use it).
+    @jax.jit
+    def step(state, grads):
+        return apply_gradients_guarded(state, grads, True)
+
+    st_j, skipped = step(state, bad)
+    assert float(skipped) == 1.0
+    np.testing.assert_array_equal(np.asarray(st_j.params["w"]), np.asarray(params["w"]))
