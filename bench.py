@@ -19,8 +19,8 @@ north-star of 50 keyframes/sec/chip.
 Precision has ONE source of truth here: ``set_precision`` before each
 build; models pick the dtype knobs up via ``apply_to_model_kwargs`` and the
 loss warps read the policy at trace time. Every jitted function is built
-AFTER its policy switch, so the PrecisionPolicyWarning (aimed at stale
-pre-built steps) is suppressed with a note.
+AFTER its policy switch, so the switches pass ``expect_rebuild=True`` (the
+stale-trace warning is aimed at pre-built steps, which this file never keeps).
 
 Timing uses chained data dependencies + scalar fetch: under the remote axon
 backend, ``block_until_ready`` is not a reliable fence.
@@ -31,7 +31,6 @@ import json
 import os
 import sys
 import time
-import warnings
 
 
 def _note(msg):
@@ -41,11 +40,9 @@ def _note(msg):
 def _set_policy(name):
     """set_precision for the bench pattern: everything jitted is rebuilt
     after each switch, so the stale-trace warning is a false alarm here."""
-    from monorec_tpu.precision import PrecisionPolicyWarning, set_precision
+    from monorec_tpu.precision import set_precision
 
-    with warnings.catch_warnings():
-        warnings.simplefilter("ignore", PrecisionPolicyWarning)
-        set_precision(name)
+    set_precision(name, expect_rebuild=True)
 
 
 def main():

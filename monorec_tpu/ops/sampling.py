@@ -170,7 +170,10 @@ def grid_sample_planar(
             and h % ROWS == 0
             and w % COLS == 0
         )
-        if on_tpu and not ok and h % 16 == 0 and h % ROWS != 0 and w % COLS == 0:
+        if (
+            on_tpu and not ok and grids.shape == (n, h, w, 2)
+            and h % 16 == 0 and h % ROWS != 0 and w % COLS == 0
+        ):
             _warn_rows_gate(h, ROWS)
         backend = "tpu" if (on_tpu and ok) else "xla"
     if backend == "tpu":
@@ -229,7 +232,10 @@ def grid_sample_nhwc(
             and h % ROWS == 0
             and w % COLS == 0
         )
-        if on_tpu and not ok and h % 16 == 0 and h % ROWS != 0 and w % COLS == 0:
+        if (
+            on_tpu and not ok and grids.shape == (n, h, w, 2)
+            and h % 16 == 0 and h % ROWS != 0 and w % COLS == 0
+        ):
             _warn_rows_gate(h, ROWS)
         backend = "tpu" if (on_tpu and ok) else "xla"
     if backend == "tpu":

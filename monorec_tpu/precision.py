@@ -63,11 +63,19 @@ _current = "exact"
 _consumed: Optional[str] = None
 
 
-def set_precision(name: str) -> None:
+def set_precision(name: str, expect_rebuild: bool = False) -> None:
+    """Select the process-wide precision policy.
+
+    ``expect_rebuild=True`` suppresses the ``PrecisionPolicyWarning`` for
+    callers that rebuild every model / jitted step after the switch (e.g.
+    benchmark or A/B harnesses that construct everything per policy) — the
+    stale-trace warning is about code built BEFORE the call, which such
+    callers do not keep.
+    """
     global _current, _consumed
     if name not in POLICIES:
         raise ValueError(f"unknown precision policy {name!r}; one of {sorted(POLICIES)}")
-    if _consumed is not None and name != _current:
+    if _consumed is not None and name != _current and not expect_rebuild:
         warnings.warn(
             f"set_precision({name!r}): the {_current!r} policy was already "
             "consumed at trace time in this process. Jitted functions and "

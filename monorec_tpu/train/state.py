@@ -11,6 +11,7 @@ from typing import Any, Dict, Optional
 
 import flax
 import jax
+import numpy as np
 import optax
 
 
@@ -193,12 +194,18 @@ def create_train_state(
     # Init as ONE compiled program: eager init dispatches hundreds of ops,
     # and on a remote-tunnel backend (axon) each is a network round trip —
     # measured ~7 minutes for the full model at 256x512 vs seconds jitted.
-    # Non-array metadata leaves (e.g. a dataset's "sequence" strings) can't
-    # be traced and aren't read by the model; drop them.
-    array_batch = {
-        k: v for k, v in batch.items()
-        if hasattr(v, "shape") or isinstance(v, (bool, int, float))
-    }
+    # Non-NUMERIC metadata leaves (e.g. a dataset's "sequence" strings,
+    # which collate() np.stacks into a '<U..' ndarray — it has .shape but
+    # can't be traced) aren't read by the model; drop them.
+    def _traceable(v):
+        if isinstance(v, (bool, int, float)):
+            return True
+        dt = getattr(v, "dtype", None)
+        return dt is not None and (
+            np.issubdtype(dt, np.number) or np.issubdtype(dt, np.bool_)
+        )
+
+    array_batch = {k: v for k, v in batch.items() if _traceable(v)}
     variables = jax.jit(lambda r, b: model.init(r, b, train))(rngs, array_batch)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})

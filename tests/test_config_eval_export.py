@@ -135,6 +135,14 @@ def test_set_precision_warns_after_trace_time_consumption():
         # ...but the same-name call must not erase the consumption memory.
         with pytest.warns(prec.PrecisionPolicyWarning):
             prec.set_precision("exact")
+
+        # expect_rebuild=True: the caller rebuilds everything after the
+        # switch (bench/A-B harness pattern), so no warning even though
+        # the previous policy was consumed.
+        prec.loss_warp_dtype()
+        with warnings.catch_warnings():
+            warnings.simplefilter("error", prec.PrecisionPolicyWarning)
+            prec.set_precision("serving", expect_rebuild=True)
     finally:
         prec._consumed = None
         prec.set_precision(prev)

@@ -234,21 +234,14 @@ def test_reprojection_loss_tpu_path_matches_xla():
         calls.append(images.shape)
         return orig(images, grids, backend="tpu", interpret=True, **kw)
 
-    import warnings
 
     from monorec_tpu.losses import common as common_mod
-    from monorec_tpu.precision import (
-        PrecisionPolicyWarning,
-        precision_policy,
-        set_precision,
-    )
+    from monorec_tpu.precision import precision_policy, set_precision
 
     def set_policy(name):
         # Each loss call below retraces after the switch, so the
         # stale-trace warning doesn't apply to this pattern.
-        with warnings.catch_warnings():
-            warnings.simplefilter("ignore", PrecisionPolicyWarning)
-            set_precision(name)
+        set_precision(name, expect_rebuild=True)
 
     common_mod.grid_sample_planar, sampling.grid_sample_planar = forced, forced
     prev_policy = precision_policy()

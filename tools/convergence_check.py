@@ -28,26 +28,18 @@ def _note(msg):
 
 
 def run_policy(policy: str, steps: int, batch_size: int, log_every: int):
-    import warnings
-
     import jax
     import jax.numpy as jnp
 
     from monorec_tpu.data import DataLoader, SyntheticSweepDataset
     from monorec_tpu.losses import depth_loss
     from monorec_tpu.models import MonoRec, MonoRecConfig
-    from monorec_tpu.precision import (
-        PrecisionPolicyWarning,
-        apply_to_model_kwargs,
-        set_precision,
-    )
+    from monorec_tpu.precision import apply_to_model_kwargs, set_precision
     from monorec_tpu.train.state import create_train_state, make_optimizer
 
-    with warnings.catch_warnings():
-        # Everything is rebuilt per policy below; the stale-trace warning
-        # does not apply to this pattern.
-        warnings.simplefilter("ignore", PrecisionPolicyWarning)
-        set_precision(policy)
+    # Everything is rebuilt per policy below; the stale-trace warning
+    # does not apply to this pattern.
+    set_precision(policy, expect_rebuild=True)
 
     model = MonoRec(
         MonoRecConfig(
