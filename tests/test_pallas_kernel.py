@@ -222,6 +222,27 @@ def test_grid_warp_rows32_geometry_matches_gather(tmp_path):
     assert "OK" in r.stdout
 
 
+def test_fused_kernel_dchunk8_forward_motion_parity():
+    """D=32 sweeps run at dchunk=8 (depth-major pipeline, per-depth
+    8-quantized slab-window row bases). Forward motion makes the chunk's
+    inter-depth y drift real, so this exercises the dynamic row windows:
+    parity with the XLA gather path and zero coverage loss."""
+    args = list(_cv_args(b=1, h=32, w=128))
+    poses = np.asarray(args[5]).copy()
+    poses[0, 0, 2, 3] = 0.6
+    poses[0, 1, 2, 3] = 1.2
+    args[5] = jnp.asarray(poses)
+
+    cfg = CostVolumeConfig(depth_steps=32)
+    fx, sx = compute_cost_volume(*args, cfg, backend="xla")
+    fp, sp, cov = compute_cost_volume(
+        *args, cfg, backend="pallas", interpret=True, return_coverage=True
+    )
+    assert np.all(np.asarray(cov) == 0.0)
+    np.testing.assert_allclose(np.asarray(fx), np.asarray(fp), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(sx), np.asarray(sp), atol=1e-4)
+
+
 def test_fused_kernel_rotation_forward_motion_parity():
     """KITTI-scale rotation (2 deg yaw, 1 deg pitch/roll) + 0.8 m forward
     motion at dchunk=4: the per-depth lane shears absorb the inter-depth
