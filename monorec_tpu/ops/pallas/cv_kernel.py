@@ -11,29 +11,15 @@ an extended block with a 2-pixel halo and computes the photometric score
   are DMA'd via scalar-prefetch-driven index maps; plane-sweep displacement
   is monotonic in inverse depth, so the union bounds come from the chunk's
   two endpoint hypotheses;
-* ONE row-aligned band slab (an exact one-hot permutation matmul over
-  ``PY_N`` = 64 rows) is shared by all ``dchunk`` hypotheses; each
-  hypothesis then reads its own ``W_SEL`` = 40-row window of the slab at a
-  PER-DEPTH ROW BASE quantized to a multiple of 8 (``lax.dynamic_slice`` on
-  the sublane dim — Mosaic requires provable 8-alignment, hence
-  ``pl.multiple_of``), so the chunk's inter-depth y drift moves the window
-  instead of widening the tap loop: the per-depth residual y window
-  (``KY_RES`` = 21 taps max, data-bounded per depth) only spans the
-  within-block zoom + the <8-row quantization remainder, independent of
-  ``dchunk``. The x displacement profile — which varies by tens of pixels
-  across a block under forward motion (zoom about the FOE) — is absorbed
+* ONE row-aligned band slab (an exact one-hot permutation matmul) is shared
+  by all ``dchunk`` hypotheses; the x displacement profile — which varies by
+  tens of pixels across a block under forward motion (zoom about the FOE)
+  and by ~12 px across the chunk's hypotheses at near depths — is absorbed
   by PER-DEPTH PER-LANE integer shears folded into the lane-selection
-  one-hots: each sheared slab is a single MXU matmul per half (M = C*W_SEL
-  = 120 stays inside one 128-row MXU tile — the select's padded-FLOP cost
-  is tile-quantized, which is what pins W_SEL), and the bilinear tap loop
-  only covers the per-lane residual (fraction + rotation-induced row
-  variation, R_PD taps), reading the sheared slabs back at static offsets
-  — no rolls, no per-tap branches;
-* hypotheses are processed DEPTH-MAJOR (one full shear + y-tap + SSIM
-  pipeline per hypothesis): the sheared-slab scratch holds one hypothesis'
-  R_PD slabs instead of the whole chunk's, so ``dchunk`` = 8 (which halves
-  the per-program shared work — slab build, setup math, Mosaic grid
-  overhead — measured ~15% of the sweep) fits comfortably in VMEM;
+  one-hots: each sheared slab is a single MXU matmul (bf16 hi/lo two-pass,
+  ~1e-5 relative), and the bilinear tap loop only covers the per-lane
+  residual (fraction + rotation-induced row variation, R_PD taps), reading
+  the sheared slabs back at static offsets — no rolls, no per-tap branches;
 * the warped block (C, ROWS+4, COLS+4) never leaves VMEM: SSIM
   (3x3 uniform window, reflect padding at image borders — replicated by an
   in-kernel edge fix, ``model/layers.py:91-139``), the channel-weighted sum
@@ -82,23 +68,15 @@ HALO = 2  # SSIM (1) + SAD box (1)
 ROWS_E = ROWS + 2 * HALO  # warped rows computed per block
 COLS_E = COLS + 2 * HALO
 # BAND_W comes from slab.py (shared with grid_warp.py); this kernel uses
-# 64-row bands so the 128-row fetch window affords the 64-row slab.
+# 64-row bands so the 128-row slab affords a KY=20 row window.
 BAND_H = 64
 PAD_Y = 192  # zero padding of the source image (multiple of BAND_H)
 PAD_X = 256
-PY_N = 64  # aligned-slab rows (shared by the chunk): absorbs the chunk's
-# inter-depth y drift PLUS each block's within-zoom span. Capped by the
-# 2-band fetch window (off_y <= BAND_H - 1, off_y + PY_N <= 2*BAND_H).
-W_SEL = 40  # per-depth slab-window rows fed to the lane-selection matmul:
-# C * W_SEL = 120 <= 128 keeps every select inside ONE MXU row tile (the
-# select is the sweep's dominant MXU cost and is tile-quantized — W_SEL=48
-# would double it). The window starts at the per-depth row base lo_dd
-# (multiple of 8; Mosaic's sublane dynamic-slice alignment requirement).
-KY_RES = W_SEL - ROWS_E + 1  # = 21: per-depth residual y taps = within-
-# block zoom span (ROWS_E*tz*inv_depth_max px — ~7 px at 1.1 m/frame,
-# measured over all blocks) + <8 px of row-base quantization + 2 bilinear/
-# floor margin. Inter-depth drift does NOT enter (per-depth row bases).
-# Pixels beyond land in the coverage counter.
+KY = 20  # row tap window (shared row base over the depth chunk): within-
+# block y zoom spans ROWS_E*tz*inv_depth_max px — ~10 at tz=1.6 (KITTI
+# highway frame spacing), ~13 at tz=2.2 — plus ~2 px inter-depth drift and
+# 2 bilinear/floor margin. Pixels beyond land in the coverage counter.
+PY_N = 40  # row-permutation output rows (>= KY + ROWS_E - 1, mult of 8)
 R_PD = 6  # residual lane taps after the PER-DEPTH per-lane shear: the
 # bilinear fraction (2) + within-block row variation of the x displacement
 # (exactly 0 for pure translation — the homography's x row is then
@@ -111,10 +89,8 @@ XSH_MAX = (2 * BAND_W - 1) - (BAND_W - 1) - (COLS_E - 1) - (R_PD - 1)
 _C1 = 0.01**2
 _C2 = 0.03**2
 
-assert (BAND_H - 1) + PY_N <= 2 * BAND_H
-assert PY_N >= W_SEL
-assert W_SEL % 8 == 0 and PY_N % 8 == 0
-assert KY_RES == W_SEL - ROWS_E + 1
+assert (BAND_H - 1) + KY + ROWS_E - 1 <= 2 * BAND_H
+assert PY_N >= KY + ROWS_E - 1
 assert XSH_MAX > 0
 
 
@@ -127,7 +103,7 @@ def _union_bases(m_first, m_last, y0h, x0h, height, width):
     fetched window — per-lane shears for x, and an exact hinted vector-min
     row base for y (out-of-image corners would otherwise drag the row base
     ~10 px below the warpable pixels under near-depth forward motion,
-    overflowing the slab). Scalar math; bit-identical in index maps and body.
+    overflowing KY). Scalar math; bit-identical in index maps and body.
     """
     b0 = _corner_displacement_bounds(m_first, y0h, x0h, ROWS_E, COLS_E)
     b1 = _corner_displacement_bounds(m_last, y0h, x0h, ROWS_E, COLS_E)
@@ -158,10 +134,10 @@ def _sad_kernel(
     wmask_ref,  # out (1, dchunk, ROWS, COLS)
     cov_ref,  # out SMEM (N, D)
     kst_s,  # scratch (2C, ROWS+2, COLS+2): box3(k), box3(k*k)
-    acc_s,  # scratch (C, ROWS_E, COLS_E): warp accumulator (one depth)
-    macc_s,  # scratch (2, ROWS_E, COLS_E): border-mask accumulators
-    shear_s,  # scratch (R_PD, C, W_SEL, 256): one depth's sheared slabs
-    wx_s,  # scratch (R_PD, ROWS_E, COLS_E): x tap weights (one depth)
+    acc_s,  # scratch (dchunk, C, ROWS_E, COLS_E): warp accumulators
+    macc_s,  # scratch (dchunk, 2, ROWS_E, COLS_E): border-mask accumulators
+    shear_s,  # scratch (dchunk*R_PD, C, PY_N, 256): per-depth sheared slabs
+    wx_s,  # scratch (dchunk*R_PD, ROWS_E, COLS_E): x tap weights
     *,
     height: int,
     width: int,
@@ -240,8 +216,8 @@ def _sad_kernel(
     neg = -pos
     # Exact hinted ROW base: the fetch base `by` is a hint-free corner
     # lower bound, which an out-of-image corner can drag ~10 px below the
-    # warpable pixels (overflowing the slab). Re-anchor the slab base at the
-    # exact vector min over pixels hinted at ANY hypothesis of the endpoint
+    # warpable pixels (overflowing KY). Re-anchor the tap base at the exact
+    # vector min over pixels hinted at ANY hypothesis of the endpoint
     # values (monotonic in inverse depth), clamped into the fetched 2-band
     # window; pixels past the clamp land in the coverage counter.
     any_hi = his[0]
@@ -255,22 +231,19 @@ def _sad_kernel(
     byf = by_t.astype(jnp.float32)
     off_y = off_y + (by_t - by)
 
-    # PER-DEPTH bases: each hypothesis' own lane profile (min over its own
-    # hinted pixels per lane) is absorbed into its own selection one-hot,
-    # and its own ROW base (scalar, quantized to 8 for Mosaic's sublane
-    # dynamic-slice alignment) positions its W_SEL-row slab window — so the
-    # residual tap windows only span the bilinear fraction + in-block
-    # variation (R_PD lane taps, <= KY_RES row taps), independent of the
-    # chunk's inter-depth drift.
-    fys, fxrs, xshfs, r_his, lo_dds, sy_los, sy_his = [], [], [], [], [], [], []
+    # PER-DEPTH per-lane shears: each hypothesis' own lane profile (min over
+    # its own hinted pixels per lane) is absorbed into its own selection
+    # one-hot, so the residual tap window only spans the bilinear fraction +
+    # in-block variation (R_PD taps) instead of fraction + the chunk's
+    # inter-depth drift (up to ~12 px at near depths under forward motion —
+    # the round-2 shared-shear design paid sy_hi*~14 taps x dchunk
+    # accumulates there; this pays sy_hi*~4 x dchunk).
+    fys, fxrs, xshfs, r_his = [], [], [], []
+    sy_hi = jnp.int32(0)
+    r_hi = jnp.int32(0)
     for dd in range(dchunk):
         hi = his[dd]
         fy = dys[dd] - byf
-        fy_min = jnp.min(jnp.where(hi, fy, pos))
-        lo_dd = jnp.clip(
-            (jnp.floor(fy_min).astype(jnp.int32) // 8) * 8, 0, PY_N - W_SEL
-        )
-        fy = fy - lo_dd.astype(jnp.float32)  # window-relative y residual
         lane_min = jnp.min(jnp.where(hi, dxs[dd], pos), axis=0, keepdims=True)
         xsh_dd = jnp.clip(
             jnp.floor(lane_min - bxf), xsh_lo, float(XSH_MAX)
@@ -280,12 +253,8 @@ def _sad_kernel(
         fys.append(fy)
         fxrs.append(fxr)
         xshfs.append((xsh_dd, xshf))
-        lo_dds.append(lo_dd)
         uncov = hi & (
-            (fy > KY_RES - 1.0)
-            | (fy < 0.0)
-            | (fxr > R_PD - 1.0)
-            | (fxr < 0.0)
+            (fy > KY - 1.0) | (fy < 0.0) | (fxr > R_PD - 1.0) | (fxr < 0.0)
         )
         d = dc * dchunk + dd
 
@@ -295,18 +264,14 @@ def _sad_kernel(
 
         cov_ref[n, d] += jnp.sum(uncov.astype(jnp.float32))
 
-        fy_lo = fy_min - lo_dd.astype(jnp.float32)
         fy_max = jnp.max(jnp.where(hi, fy, neg))
         fxr_max = jnp.max(jnp.where(hi, fxr, neg))
-        sy_los.append(
-            jnp.clip(jnp.floor(fy_lo).astype(jnp.int32), 0, KY_RES)
+        sy_hi = jnp.maximum(
+            sy_hi, jnp.clip(jnp.floor(fy_max).astype(jnp.int32) + 2, 0, KY)
         )
-        sy_his.append(
-            jnp.clip(jnp.floor(fy_max).astype(jnp.int32) + 2, 0, KY_RES)
-        )
-        r_his.append(
-            jnp.clip(jnp.floor(fxr_max).astype(jnp.int32) + 2, 0, R_PD)
-        )
+        r_hi_dd = jnp.clip(jnp.floor(fxr_max).astype(jnp.int32) + 2, 0, R_PD)
+        r_his.append(r_hi_dd)
+        r_hi = jnp.maximum(r_hi, r_hi_dd)
 
     # --- row-aligned slab (shared by the whole chunk; machinery in
     # slab.py, shared with grid_warp.py) -----------------------------------
@@ -315,86 +280,97 @@ def _sad_kernel(
         off_y, PY_N, interpret,
     )
 
+    # Base index maps for the sheared one-hots, one per hypothesis:
+    # src = dst + off_x + xsh_dd[dst].
     lane_src, lane_dst = lane_iotas(256)
-
-    # --- depth-major pipeline: shear -> y taps -> SSIM/SAD per hypothesis --
-    # NOTE on borders (SSIM/SAD epilogue): the reference reflect-pads the
-    # warped image for SSIM and zero-pads the weighted diff for the SAD box
-    # sum. Both only affect SAD values within 2 px of the image border —
-    # exactly the border_radius=2 ring that ``valid``'s border_mask zeroes
-    # downstream (monorec_model.py:282-284), so this kernel leaves
-    # border-ring SAD values unspecified instead of spending rolls on the
-    # reflection fix.
-    cw = [float(x) for x in channel_weights]
-
+    shear_bases = []
     for dd in range(dchunk):
-        # This hypothesis' W_SEL-row slab window at its 8-aligned row base.
-        lo = pl.multiple_of(lo_dds[dd], 8)
-        win = [
-            tuple(
-                jax.lax.dynamic_slice(
-                    p, (0, lo, 0), (p.shape[0], W_SEL, p.shape[2])
-                )
-                for p in pair
-            )
-            for pair in halves
-        ]
-        xsh_full = jnp.pad(xshfs[dd][0], ((0, 0), (0, 256 - COLS_E)))
-        shear_base = lane_dst + off_x + xsh_full  # (256, 256)
+        xsh_dd, _ = xshfs[dd]
+        xsh_full = jnp.pad(xsh_dd, ((0, 0), (0, 256 - COLS_E)))
+        shear_bases.append(lane_dst + off_x + xsh_full)  # (256, 256)
 
-        acc_s[...] = jnp.zeros(acc_s.shape, jnp.float32)
-        macc_s[...] = jnp.zeros(macc_s.shape, jnp.float32)
+    acc_s[...] = jnp.zeros(acc_s.shape, jnp.float32)
+    macc_s[...] = jnp.zeros(macc_s.shape, jnp.float32)
 
-        # phase A: sheared slabs + x weights + x border interp. Slots
-        # [0, r_his[dd]) are freshly written for THIS hypothesis under the
-        # same bound phase B reads them with — no stale-slot hazards.
-        for s in range(R_PD):
-            sf = float(s)
+    # --- phase A: per-depth sheared slabs + x weights + x border interp ----
+    # Scratch is flat (dchunk*R_PD, ...) so phase B can index it with one
+    # dynamic leading index (the proven-safe Mosaic pattern). The weights
+    # are written under the SHARED bound r_hi: for s in [r_hi_dd, r_hi) the
+    # hat weight is exactly zero for every pixel of depth dd (s >=
+    # floor(fxr_max)+2), so phase B's reads of that depth's stale slab
+    # slots are annihilated; only the expensive selection matmul is guarded
+    # by the per-depth bound.
+    for s in range(R_PD):
+        sf = float(s)
 
-            @pl.when(any_hint & (s < r_his[dd]))
-            def _(s=s, sf=sf, dd=dd):
+        @pl.when(any_hint & (s < r_hi))
+        def _(s=s, sf=sf):
+            for dd in range(dchunk):
                 tx = cols + bxf + xshfs[dd][1] + sf
                 ind_x = (
                     (tx >= border_radius) & (tx < width - border_radius)
                 ).astype(jnp.float32)
                 # Zero the weight at unhinted pixels: their residual is
-                # arbitrary, and a nonzero hat weight there would multiply
-                # whatever the slab holds there. Unhinted pixels are masked
-                # downstream either way (their taps fail the border
-                # indicators).
+                # arbitrary, and a nonzero hat weight there could read a
+                # slab slot no program ever wrote (uninitialized VMEM).
+                # Hinted pixels of depth dd are zero past r_his[dd] by
+                # construction. Unhinted pixels are masked downstream
+                # either way (their taps fail the border indicators).
                 wx = jnp.clip(1.0 - jnp.abs(fxrs[dd] - sf), 0.0, 1.0)
                 wx = wx * his[dd].astype(jnp.float32)
-                wx_s[s] = wx
-                macc_s[1] += wx * ind_x
-                shear_s[s] = select_lanes(
-                    win, lane_src, shear_base, s, shear_dtype,
-                )  # (C, W_SEL, 256)
+                wx_s[dd * R_PD + s] = wx
+                macc_s[dd, 1] += wx * ind_x
 
-        # phase B: banded y taps over this hypothesis' sheared slabs,
-        # bounded by its own active row window [sy_lo, sy_hi).
-        for sy in range(KY_RES):
-            syf = float(sy)
+        for dd in range(dchunk):
+            # Guarded by the SHARED bound: phase B reads every (dd, s<r_hi)
+            # slot, and an unwritten slot could hold non-finite bits that
+            # survive multiplication by a zero weight (0*NaN). The per-depth
+            # bounds r_his[dd] track the shared max to within ~1 (they are
+            # all fraction + row-variation), so the extra matmuls are rare.
+            @pl.when(any_hint & (s < r_hi))
+            def _(s=s, dd=dd):
+                shear_s[dd * R_PD + s] = select_lanes(
+                    halves, lane_src, shear_bases[dd], s, shear_dtype,
+                )  # (C, PY_N, 256)
 
-            @pl.when(
-                any_hint & (sy >= sy_los[dd]) & (sy < sy_his[dd])
-            )
-            def _(sy=sy, syf=syf, dd=dd):
-                ty = rows + byf + lo_dds[dd].astype(jnp.float32) + syf
-                ind_y = (
-                    (ty >= border_radius) & (ty < height - border_radius)
-                ).astype(jnp.float32)
+    # --- phase B: banded y taps over the per-depth sheared slabs ----------
+    for sy in range(KY):
+        syf = float(sy)
+
+        @pl.when(any_hint & (sy < sy_hi))
+        def _(sy=sy, syf=syf):
+            ty = rows + byf + syf
+            ind_y = (
+                (ty >= border_radius) & (ty < height - border_radius)
+            ).astype(jnp.float32)
+            wys = []
+            for dd in range(dchunk):
                 wy = jnp.clip(1.0 - jnp.abs(fys[dd] - syf), 0.0, 1.0)
-                macc_s[0] += wy * ind_y
+                wys.append(wy)
+                macc_s[dd, 0] += wy * ind_y
 
-                def sbody(s, _):
-                    src = shear_s[s, :, sy : sy + ROWS_E, :COLS_E]
-                    acc_s[...] += (wy * wx_s[s])[None] * src
-                    return 0
+            def sbody(s, _):
+                # r_hi = max over depths; taps past a depth's own r_hi have
+                # zero hat weight (and read a stale-but-finite slab slot),
+                # so no per-depth predication is needed in the body.
+                for dd in range(dchunk):
+                    src = shear_s[dd * R_PD + s, :, sy : sy + ROWS_E, :COLS_E]
+                    acc_s[dd] += (wys[dd] * wx_s[dd * R_PD + s])[None] * src
+                return 0
 
-                jax.lax.fori_loop(0, r_his[dd], sbody, 0)
+            jax.lax.fori_loop(0, r_hi, sbody, 0)
 
-        # epilogue: in-register SSIM + channel-weighted 3x3 SAD.
-        w = acc_s[...] + 0.5  # warped + 0.5 (SSIM input domain, layers.py:120)
+    # --- in-register SSIM + channel-weighted 3x3 SAD ----------------------
+    # NOTE on borders: the reference reflect-pads the warped image for SSIM
+    # and zero-pads the weighted diff for the SAD box sum. Both only affect
+    # SAD values within 2 px of the image border — exactly the
+    # border_radius=2 ring that ``valid``'s border_mask zeroes downstream
+    # (monorec_model.py:282-284), so this kernel leaves border-ring SAD
+    # values unspecified instead of spending rolls on the reflection fix.
+    cw = [float(x) for x in channel_weights]
+
+    for dd in range(dchunk):
+        w = acc_s[dd] + 0.5  # warped + 0.5 (SSIM input domain, layers.py:120)
         k = key_ref[0, 0, 0].astype(jnp.float32)  # already + 0.5
 
         if use_ssim in (1, 2):
@@ -431,7 +407,7 @@ def _sad_kernel(
         for c in range(1, channels):
             e = e + cw[c] * diff[c]
         sad_ref[0, dd] = _box3(e)
-        wm = macc_s[0] * macc_s[1]
+        wm = macc_s[dd, 0] * macc_s[dd, 1]
         wmask_ref[0, dd] = wm[HALO : HALO + ROWS, HALO : HALO + COLS]
 
 
@@ -469,16 +445,11 @@ def plane_sweep_sad(
     assert len(channel_weights) == c
 
     # Depth hypotheses per program: the chunk shares one row-aligned slab
-    # (and the band DMA), and each hypothesis reads its own W_SEL-row
-    # window of it at a per-depth row base — the slab's PY_N rows must
-    # absorb the chunk's inter-depth y drift, but the per-depth tap windows
-    # do not, so large chunks are safe at driving-scale motion (measured:
-    # dchunk=8 halves the per-program shared work for ~15% of the sweep).
-    # Small-D sweeps (coarse hypothesis spacing) use smaller chunks to keep
-    # the slab-level drift bounded.
-    if d % 8 == 0 and d >= 32:
-        dchunk = 8
-    elif d % 4 == 0 and d >= 24:
+    # (and the band DMA), so the shared ROW base must absorb the chunk's
+    # inter-depth y drift inside KY — small-D sweeps (coarse hypothesis
+    # spacing) use smaller chunks to keep that drift bounded. The LANE
+    # residual is per-depth (own shear) and does not constrain dchunk.
+    if d % 4 == 0 and d >= 24:
         dchunk = 4
     elif d % 2 == 0 and d >= 12:
         dchunk = 2
@@ -569,10 +540,10 @@ def plane_sweep_sad(
         ],
         scratch_shapes=[
             pltpu.VMEM((2 * c, ROWS + 2, COLS + 2), jnp.float32),
-            pltpu.VMEM((c, ROWS_E, COLS_E), jnp.float32),
-            pltpu.VMEM((2, ROWS_E, COLS_E), jnp.float32),
-            pltpu.VMEM((R_PD, c, W_SEL, 256), jnp.float32),
-            pltpu.VMEM((R_PD, ROWS_E, COLS_E), jnp.float32),
+            pltpu.VMEM((dchunk, c, ROWS_E, COLS_E), jnp.float32),
+            pltpu.VMEM((dchunk, 2, ROWS_E, COLS_E), jnp.float32),
+            pltpu.VMEM((dchunk * R_PD, c, PY_N, 256), jnp.float32),
+            pltpu.VMEM((dchunk * R_PD, ROWS_E, COLS_E), jnp.float32),
         ],
     )
 

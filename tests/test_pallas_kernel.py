@@ -222,11 +222,12 @@ def test_grid_warp_rows32_geometry_matches_gather(tmp_path):
     assert "OK" in r.stdout
 
 
-def test_fused_kernel_dchunk8_forward_motion_parity():
-    """D=32 sweeps run at dchunk=8 (depth-major pipeline, per-depth
-    8-quantized slab-window row bases). Forward motion makes the chunk's
-    inter-depth y drift real, so this exercises the dynamic row windows:
-    parity with the XLA gather path and zero coverage loss."""
+def test_fused_kernel_strong_forward_motion_parity():
+    """1.2 m/frame forward motion at the default D=32 chunking: the
+    inter-depth y drift within a chunk is real here, so this exercises the
+    per-depth lane shears + shared row-base machinery near the top of the
+    documented motion envelope: parity with the XLA gather path and zero
+    coverage loss."""
     args = list(_cv_args(b=1, h=32, w=128))
     poses = np.asarray(args[5]).copy()
     poses[0, 0, 2, 3] = 0.6
