@@ -118,12 +118,19 @@ def main():
                     eps = fwd_chained(variables, batch, eps * 1e-9)
                 float(eps)
 
-        iters = 10
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            eps = fwd_chained(variables, batch, eps * 1e-9)
-        float(eps)  # forces the whole chain
-        return batch_size * iters / (time.perf_counter() - t0)
+        # Median of several short windows, like _time_step_windows: a single
+        # long window is fragile on the axon tunnel (a transient stall once
+        # mis-reported the serving forward by 30%).
+        meds = []
+        for _ in range(5):
+            iters = 4
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                eps = fwd_chained(variables, batch, eps * 1e-9)
+            float(eps)  # forces the whole chain
+            meds.append(batch_size * iters / (time.perf_counter() - t0))
+        meds.sort()
+        return meds[len(meds) // 2]
 
     # "value" is the recommended TPU serving configuration (bf16 warps +
     # bf16 U-Net compute; parity drift ≪ the 1% budget, see PARITY.md);

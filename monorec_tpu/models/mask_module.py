@@ -107,15 +107,19 @@ class MaskModule(nn.Module):
         if self.dtype is not None:
             single_frame_cvs = single_frame_cvs.astype(self.dtype)
         encoder = _CVEncoder(self.depth_steps, dtype=self.dtype, name="cv_encoder")
-        n_frames = single_frame_cvs.shape[1]
+        b, n_frames = single_frame_cvs.shape[:2]
 
-        fused: List[Array] = []
-        for f in range(n_frames):  # static unroll; encoder weights shared
-            feats = encoder(single_frame_cvs[:, f])
-            if not fused:
-                fused = list(feats)
-            else:
-                fused = [jnp.maximum(a, b) for a, b in zip(fused, feats)]
+        # One weight-shared encoder pass over all frames at once (frame axis
+        # folded into batch): the encoder is per-sample (convs + LeakyReLU,
+        # no cross-batch ops), so this is exactly the reference's per-frame
+        # loop (monorec_model.py:360-365) with bigger GEMMs and F x fewer
+        # kernel launches; the max fusion happens on the unfolded frame axis.
+        feats = encoder(
+            single_frame_cvs.reshape(b * n_frames, *single_frame_cvs.shape[2:])
+        )
+        fused: List[Array] = [
+            jnp.max(f.reshape(b, n_frames, *f.shape[1:]), axis=1) for f in feats
+        ]
 
         dropout = nn.Dropout(rate=0.5, deterministic=not train)
         fused = [dropout(f) for f in fused]
