@@ -120,7 +120,9 @@ def main():
 
         # Median of several short windows, like _time_step_windows: a single
         # long window is fragile on the axon tunnel (a transient stall once
-        # mis-reported the serving forward by 30%).
+        # mis-reported the serving forward by 30%). The spread (max-min over
+        # windows) is reported alongside so round-over-round deltas can be
+        # adjudicated as jitter vs real change.
         meds = []
         for _ in range(5):
             iters = 4
@@ -130,27 +132,30 @@ def main():
             float(eps)  # forces the whole chain
             meds.append(batch_size * iters / (time.perf_counter() - t0))
         meds.sort()
-        return meds[len(meds) // 2]
+        return meds[len(meds) // 2], meds[-1] - meds[0]
 
     # "value" is the recommended TPU serving configuration (bf16 warps +
     # bf16 U-Net compute; parity drift ≪ the 1% budget, see PARITY.md);
     # "value_f32" is the exact reference-parity configuration.
     _note("compiling + timing serving (bf16) forward...")
-    kf_per_sec = bench_forward("serving")
+    kf_per_sec, kf_spread = bench_forward("serving")
     result = {
         "metric": "kitti_256x512_D32_F2_forward_keyframes_per_sec",
         "value": round(kf_per_sec, 2),
         "unit": "keyframes/s/chip",
         "vs_baseline": round(kf_per_sec / 50.0, 3),
+        "value_spread": round(kf_spread, 2),
     }
     _note(f"serving forward: {result['value']} kf/s; timing exact f32...")
-    result["value_f32"] = round(bench_forward("exact"), 2)
+    f32_med, f32_spread = bench_forward("exact")
+    result["value_f32"] = round(f32_med, 2)
+    result["value_f32_spread"] = round(f32_spread, 2)
 
     # Same forward under KITTI-like ego-motion (~0.8 m forward between
     # source frames): the larger plane-sweep displacement spread exercises
     # the kernel's tap loop, so this is the conservative throughput bound.
     _note("timing forward under ego-motion...")
-    result["value_fwd_motion"] = round(bench_forward("serving", motion=True), 2)
+    result["value_fwd_motion"] = round(bench_forward("serving", motion=True)[0], 2)
 
     _note(f"forward done: {result}")
     if os.environ.get("BENCH_TRAIN", "1") != "0":
@@ -250,14 +255,17 @@ def _bench_train_step(batch_size: int, policy: str):
     )
 
 
-def _bench_train_step_stage4(batch_size: int):
+def _bench_train_step_stage4(batch_size: int, trainer_overrides=None):
     """Stage-4 (depth refinement) MonoRecTrainer step throughput under the
     serving policy: stereo CV pass + stereo depth (stop-grad), mono CV pass,
     MaskModule (frozen, as monorec_depth_ref.json freezes "att"),
     mult_mask_on_cv, mono depth decode, depth_refinement_loss with
     options=(stereo, stereo_repr). This is the heaviest step of the 4-stage
     curriculum (reference ``trainer/monorec_trainer.py:21-122`` +
-    ``configs/train/monorec/monorec_depth_ref.json``)."""
+    ``configs/train/monorec/monorec_depth_ref.json``).
+
+    ``trainer_overrides`` lets A/B probes pin formulation knobs
+    (joint_cv / joint_depth_decode); the default is the shipped trainer."""
     import jax
 
     from __graft_entry__ import _OneBatchLoader, _make_batch
@@ -277,19 +285,19 @@ def _bench_train_step_stage4(batch_size: int):
     batch = _make_batch(batch_size, 256, 512, 2, stereo=True, mask=False)
     tx = make_optimizer({"type": "Adam", "args": {"lr": 1e-5, "amsgrad": True}})
     state = create_train_state(model, batch, jax.random.PRNGKey(0), tx)
+    tcfg = {
+        "compute_mono_pred": True,
+        "compute_stereo_pred": True,
+        "compute_mask": True,
+        "mult_mask_on_cv": True,
+        "epochs": 1,
+        "alpha": 0.5,
+        "tensorboard": False,
+    }
+    tcfg.update(trainer_overrides or {})
     trainer = MonoRecTrainer(
         model, depth_refinement_loss, [], state,
-        {
-            "trainer": {
-                "compute_mono_pred": True,
-                "compute_stereo_pred": True,
-                "compute_mask": True,
-                "mult_mask_on_cv": True,
-                "epochs": 1,
-                "alpha": 0.5,
-                "tensorboard": False,
-            }
-        },
+        {"trainer": tcfg},
         data_loader=_OneBatchLoader(batch, batch_size),
         run_dir="/tmp/monorec_bench_stage4",
         options=("stereo", "stereo_repr"),

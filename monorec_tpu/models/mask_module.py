@@ -114,6 +114,11 @@ class MaskModule(nn.Module):
         # no cross-batch ops), so this is exactly the reference's per-frame
         # loop (monorec_model.py:360-365) with bigger GEMMs and F x fewer
         # kernel launches; the max fusion happens on the unfolded frame axis.
+        # Gradient note for parity debugging: jnp.max splits the gradient
+        # evenly across frames on exact feature ties (e.g. zeroed CV
+        # regions), whereas the reference's chained pairwise maximum
+        # attributes ties geometrically; total gradient into the shared
+        # encoder is conserved, forward values are identical.
         feats = encoder(
             single_frame_cvs.reshape(b * n_frames, *single_frame_cvs.shape[2:])
         )

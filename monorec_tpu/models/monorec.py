@@ -45,7 +45,11 @@ from monorec_tpu.models.augmentation import (
 from monorec_tpu.models.depth_module import DepthModule
 from monorec_tpu.models.mask_module import MaskModule, SimpleMaskModule
 from monorec_tpu.models.resnet import ResNetEncoder
-from monorec_tpu.ops.cost_volume import CostVolumeConfig, compute_cost_volume
+from monorec_tpu.ops.cost_volume import (
+    CostVolumeConfig,
+    compute_cost_volume,
+    compute_cost_volume_pair,
+)
 
 Array = jax.Array
 Batch = Dict[str, Any]
@@ -210,6 +214,27 @@ class MonoRec(nn.Module):
             cfg.cv_config(),
             cv_depths=batch.get("cv_depths"),
             return_coverage=return_coverage,
+        )
+
+    def cost_volume_pair(self, batch: Batch):
+        """Mono AND stereo cost volumes in one fused sweep (stage 2-4
+        protocol; reference runs two CostVolumeModule passes,
+        ``trainer/monorec_trainer.py:45-46,71-72``). Returns
+        ``(cv_mono, sfcv_mono, cv_stereo, sfcv_stereo, coverage)``."""
+        cfg = self.config
+        return compute_cost_volume_pair(
+            batch["keyframe"],
+            batch["keyframe_intrinsics"],
+            batch["keyframe_pose"],
+            batch["frames"],
+            batch["intrinsics"],
+            batch["poses"],
+            batch["stereoframe"],
+            batch["stereoframe_intrinsics"],
+            batch["stereoframe_pose"],
+            jnp.float32(cfg.inv_depth_min_max[1]),
+            jnp.float32(cfg.inv_depth_min_max[0]),
+            cfg.cv_config(),
         )
 
     # ----- full forward (pretrain modes, reference forward :672-729) -----

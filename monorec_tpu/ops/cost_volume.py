@@ -248,28 +248,36 @@ def _score_and_fuse(
     return jnp.moveaxis(fused, 1, -1), jnp.moveaxis(sfcv, 2, -1)
 
 
-def _compute_cost_volume_pallas(
+def _plane_sweep_sad_grouped(
     keyframe: Array,
     keyframe_intrinsics: Array,
     keyframe_pose: Array,
-    frames: Array,
+    frames: Array,  # (B, F_total, H, W, C)
     frame_intrinsics: Array,
     frame_poses: Array,
     inv_depths: Array,  # (D,)
     cfg: CostVolumeConfig,
+    groups: Tuple[int, ...],
     interpret: bool = False,
-) -> Tuple[Array, Array, Array]:
-    """Cost volume via the fully fused Pallas kernel (TPU fast path).
+):
+    """ONE fused-kernel sweep over all frames, fused per frame GROUP.
 
-    The kernel computes warp + SSIM + channel-weighted patch-SAD in one pass
-    (the warped stack never reaches HBM); only ``_score_and_fuse`` runs in
-    XLA. Returns fused CV, per-frame CVs and the per-sample uncovered-pixel
-    counts from the kernel's coverage counter.
+    The kernel scores each (frame, depth) independently, so frames destined
+    for DIFFERENT cost volumes (e.g. the stage 2-4 protocol's temporal mono
+    frames and the stereo frame — reference ``trainer/monorec_trainer.py:
+    38-78`` runs them as two CostVolumeModule passes) can share one launch:
+    ``groups`` partitions the frame axis, and the exp-sharpness fusion
+    (reference ``monorec_model.py:250-269``) runs per group on slices of the
+    kernel's SAD output. Numerically identical to one launch per group —
+    per-frame SAD/validity never mix across groups.
+
+    Returns ``[(fused, sfcv) per group]`` and combined coverage counts (B,).
     """
     from monorec_tpu.ops.pallas import plane_sweep_sad
 
     b, h, w, c = keyframe.shape
     f = frames.shape[1]
+    assert sum(groups) == f, (groups, f)
     d_steps = inv_depths.shape[0]
 
     homs = plane_sweep_homographies(
@@ -300,10 +308,43 @@ def _compute_cost_volume_pallas(
         (wmask != 0).astype(keyframe.dtype), axis=1
     )  # (N, H, W)
 
-    fused, sfcv = _score_and_fuse(
-        sad.reshape(b, f, d_steps, h, w), valid.reshape(b, f, h, w), cfg
+    sad = sad.reshape(b, f, d_steps, h, w)
+    valid = valid.reshape(b, f, h, w)
+    outs = []
+    f0 = 0
+    for fg in groups:
+        outs.append(
+            _score_and_fuse(sad[:, f0 : f0 + fg], valid[:, f0 : f0 + fg], cfg)
+        )
+        f0 += fg
+    return outs, jnp.sum(cov.reshape(b, f * d_steps), axis=-1)
+
+
+def _compute_cost_volume_pallas(
+    keyframe: Array,
+    keyframe_intrinsics: Array,
+    keyframe_pose: Array,
+    frames: Array,
+    frame_intrinsics: Array,
+    frame_poses: Array,
+    inv_depths: Array,  # (D,)
+    cfg: CostVolumeConfig,
+    interpret: bool = False,
+) -> Tuple[Array, Array, Array]:
+    """Cost volume via the fully fused Pallas kernel (TPU fast path).
+
+    The kernel computes warp + SSIM + channel-weighted patch-SAD in one pass
+    (the warped stack never reaches HBM); only ``_score_and_fuse`` runs in
+    XLA. Returns fused CV, per-frame CVs and the per-sample uncovered-pixel
+    counts from the kernel's coverage counter.
+    """
+    f = frames.shape[1]
+    outs, cov = _plane_sweep_sad_grouped(
+        keyframe, keyframe_intrinsics, keyframe_pose, frames,
+        frame_intrinsics, frame_poses, inv_depths, cfg, (f,), interpret,
     )
-    return fused, sfcv, jnp.sum(cov.reshape(b, f * d_steps), axis=-1)
+    fused, sfcv = outs[0]
+    return fused, sfcv, cov
 
 
 def _compute_cost_volume_pallas_warp(
@@ -388,6 +429,94 @@ def _compute_cost_volume_pallas_warp(
 
     fused_nhwd, sfcv_nhwd = _score_and_fuse(sad, valid.reshape(b, f, h, w), cfg)
     return fused_nhwd, sfcv_nhwd, cov_b
+
+
+def _fused_kernel_eligible(
+    keyframe: Array, cfg: CostVolumeConfig, cv_depths, interpret: bool
+) -> bool:
+    """True when the fully fused Pallas SAD kernel can serve this sweep
+    (mirrors ``compute_cost_volume``'s "auto" + fused-path gates)."""
+    b, height, width, channels = keyframe.shape
+    on_tpu = interpret or jax.default_backend() not in ("cpu", "gpu")
+    return (
+        on_tpu
+        and cv_depths is None
+        and height % 16 == 0
+        and width % 128 == 0
+        and cfg.sfcv_mult_mask
+        and cfg.patch_size == 3
+        and channels == len(cfg.channel_weights)
+    )
+
+
+def compute_cost_volume_pair(
+    keyframe: Array,
+    keyframe_intrinsics: Array,
+    keyframe_pose: Array,
+    mono_frames: Array,  # (B, F, H, W, C)
+    mono_intrinsics: Array,
+    mono_poses: Array,
+    stereo_frame: Array,  # (B, H, W, C)
+    stereo_intrinsics: Array,
+    stereo_pose: Array,
+    inv_depth_max: Array,
+    inv_depth_min: Array,
+    cfg: CostVolumeConfig = CostVolumeConfig(),
+    backend: str = "auto",
+    interpret: bool = False,
+):
+    """Mono AND stereo cost volumes for one keyframe in ONE kernel launch.
+
+    The stage 2-4 training protocol needs both a temporal-frame CV and a
+    stereo-frame CV of the same keyframe (reference
+    ``trainer/monorec_trainer.py:38-78`` — two sequential CostVolumeModule
+    passes). The stereo frame is just one more source frame of the same
+    keyframe, so on the fused-kernel path both sweeps share one F+1-frame
+    launch (one grid, one set of keyframe window stats per block) and the
+    frame-fusion runs per group. Numerically identical to two separate
+    ``compute_cost_volume`` calls (per-frame SAD/validity never mix across
+    groups); on non-kernel backends this simply makes the two calls.
+
+    Returns ``(mono_fused, mono_sfcv, stereo_fused, stereo_sfcv, coverage)``
+    with coverage summed over ALL frames (mono + stereo), all under
+    ``stop_gradient`` (reference computes CVs under ``no_grad``,
+    ``monorec_model.py:679``).
+    """
+    f = mono_frames.shape[1]
+    use_joint = backend in ("pallas", "auto") and _fused_kernel_eligible(
+        keyframe, cfg, None, interpret
+    )
+    if not use_joint:
+        mono_fused, mono_sfcv, cov_m = compute_cost_volume(
+            keyframe, keyframe_intrinsics, keyframe_pose,
+            mono_frames, mono_intrinsics, mono_poses,
+            inv_depth_max, inv_depth_min, cfg,
+            backend=backend, interpret=interpret, return_coverage=True,
+        )
+        st_fused, st_sfcv, cov_s = compute_cost_volume(
+            keyframe, keyframe_intrinsics, keyframe_pose,
+            stereo_frame[:, None], stereo_intrinsics[:, None],
+            stereo_pose[:, None],
+            inv_depth_max, inv_depth_min, cfg,
+            backend=backend, interpret=interpret, return_coverage=True,
+        )
+        return mono_fused, mono_sfcv, st_fused, st_sfcv, cov_m + cov_s
+
+    frames = jnp.concatenate([mono_frames, stereo_frame[:, None]], axis=1)
+    intr = jnp.concatenate([mono_intrinsics, stereo_intrinsics[:, None]], axis=1)
+    poses = jnp.concatenate([mono_poses, stereo_pose[:, None]], axis=1)
+    inv_depths = jnp.linspace(
+        jnp.asarray(inv_depth_max, keyframe.dtype),
+        jnp.asarray(inv_depth_min, keyframe.dtype),
+        cfg.depth_steps,
+    )
+    outs, cov = _plane_sweep_sad_grouped(
+        keyframe, keyframe_intrinsics, keyframe_pose, frames, intr, poses,
+        inv_depths, cfg, (f, 1), interpret,
+    )
+    (mono_fused, mono_sfcv), (st_fused, st_sfcv) = outs
+    sg = jax.lax.stop_gradient
+    return sg(mono_fused), sg(mono_sfcv), sg(st_fused), sg(st_sfcv), sg(cov)
 
 
 def compute_cost_volume(

@@ -48,6 +48,19 @@ class MonoRecTrainer(Trainer):
         self.compute_mask = tcfg.get("compute_mask", True)
         self.mult_mask_on_cv = tcfg.get("mult_mask_on_cv", False)
         self.concat_mono_stereo = tcfg.get("concat_mono_stereo", False)
+        # One 2B-batch DepthModule pass for the mono+stereo decodes (same
+        # weights; per-sample outputs unchanged — tested). Default OFF:
+        # measured 31.27 vs 32.58 kf/s on the chip (r05 probe) — the
+        # backward conv runs on the full 2B batch even though the stereo
+        # half's cotangents are structurally zero, which costs more than
+        # the forward batching saves.
+        self.joint_depth_decode = tcfg.get("joint_depth_decode", False)
+        # One fused plane-sweep launch for the mono+stereo cost volumes
+        # (numerically identical; see compute_cost_volume_pair). Default
+        # OFF: measured 31.45 vs 32.58 kf/s (r05 probe) — the kernel's
+        # per-frame work is linear in F and the 3B-frame concat + sliced
+        # fusion epilogue cost more than the saved launch.
+        self.joint_cv = tcfg.get("joint_cv", False)
 
     # ------------------------------------------------------------------
 
@@ -106,23 +119,33 @@ class MonoRecTrainer(Trainer):
 
         feats = apply(MonoRec.features, data["keyframe"])
 
-        # --- A) stereo pass ---------------------------------------------
-        if self.compute_stereo_pred:
+        # --- A+B) cost volumes ------------------------------------------
+        # When the protocol needs BOTH the stereo-frame and the temporal
+        # (mono) cost volume of the same keyframe, compute them in ONE
+        # fused plane-sweep launch (the reference runs two sequential
+        # CostVolumeModule passes, ``trainer/monorec_trainer.py:45-46,
+        # 71-72``; numerics are identical — see compute_cost_volume_pair).
+        # ``cv_uncovered`` then counts over mono AND stereo frames.
+        if self.compute_stereo_pred and self.joint_cv:
+            cv_m, sfcv_m, cv_s, sfcv_s, cv_uncov = apply(
+                MonoRec.cost_volume_pair, batch
+            )
+            cv_s, sfcv_s = aug_one(cv_s), aug_one(sfcv_s)
+        elif self.compute_stereo_pred:
             cv_s, sfcv_s = apply(
                 MonoRec.cost_volume, batch, use_mono=False, use_stereo=True
             )
             cv_s, sfcv_s = aug_one(cv_s), aug_one(sfcv_s)
-            stereo_pred = apply(MonoRec.depth, cv_s, data["keyframe"], feats)
-            if not self.concat_mono_stereo:
-                stereo_pred = [jax.lax.stop_gradient(p) for p in stereo_pred]
+            cv_m, sfcv_m, cv_uncov = apply(
+                MonoRec.cost_volume, batch,
+                use_mono=True, use_stereo=False, return_coverage=True,
+            )
         else:
-            stereo_pred = None
-
-        # --- B) mono pass -------------------------------------------------
-        cv_m, sfcv_m, cv_uncov = apply(
-            MonoRec.cost_volume, batch,
-            use_mono=True, use_stereo=False, return_coverage=True,
-        )
+            cv_s = None
+            cv_m, sfcv_m, cv_uncov = apply(
+                MonoRec.cost_volume, batch,
+                use_mono=True, use_stereo=False, return_coverage=True,
+            )
         data["cv_uncovered"] = cv_uncov
         cv_m, sfcv_m = aug_one(cv_m), aug_one(sfcv_m)
 
@@ -133,10 +156,43 @@ class MonoRecTrainer(Trainer):
         else:
             cv_mask = jnp.zeros_like(cv_m[..., :1])
 
-        if self.compute_mono_pred:
-            mono_pred = apply(MonoRec.depth, cv_m, data["keyframe"], feats)
+        # --- depth decodes ------------------------------------------------
+        # Mono and stereo decodes share the SAME DepthModule weights
+        # (reference ``trainer/monorec_trainer.py:56-60,87-90``), so when
+        # both are needed they run as one 2B-batch U-Net pass (the decoder
+        # has no cross-batch ops; per-sample outputs are unchanged). The
+        # stereo half is detached afterwards exactly like the separate-pass
+        # formulation.
+        if (
+            self.compute_stereo_pred
+            and self.compute_mono_pred
+            and self.joint_depth_decode
+        ):
+            preds = apply(
+                MonoRec.depth,
+                jnp.concatenate([cv_m, cv_s], axis=0),
+                jnp.concatenate([data["keyframe"]] * 2, axis=0),
+                [jnp.concatenate([f, f], axis=0) for f in feats],
+            )
+            mono_pred = [p[:b] for p in preds]
+            stereo_pred = [p[b:] for p in preds]
+            if not self.concat_mono_stereo:
+                stereo_pred = [jax.lax.stop_gradient(p) for p in stereo_pred]
         else:
-            mono_pred = [jnp.zeros_like(cv_m[..., :1])]
+            if self.compute_stereo_pred:
+                stereo_pred = apply(
+                    MonoRec.depth, cv_s, data["keyframe"], feats
+                )
+                if not self.concat_mono_stereo:
+                    stereo_pred = [
+                        jax.lax.stop_gradient(p) for p in stereo_pred
+                    ]
+            else:
+                stereo_pred = None
+            if self.compute_mono_pred:
+                mono_pred = apply(MonoRec.depth, cv_m, data["keyframe"], feats)
+            else:
+                mono_pred = [jnp.zeros_like(cv_m[..., :1])]
 
         data["cost_volume"] = cv_m
         data["single_frame_cvs"] = sfcv_m

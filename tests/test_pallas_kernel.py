@@ -268,3 +268,50 @@ def test_fused_kernel_rotation_forward_motion_parity():
     assert np.all(np.asarray(cov) == 0.0)
     np.testing.assert_allclose(np.asarray(fx), np.asarray(fp), atol=1e-4)
     np.testing.assert_allclose(np.asarray(sx), np.asarray(sp), atol=1e-4)
+
+
+def test_cost_volume_pair_matches_separate_sweeps():
+    """The grouped mono+stereo sweep (one fused launch, per-group fusion —
+    the stage 2-4 protocol's two CostVolumeModule passes,
+    ``trainer/monorec_trainer.py:45-46,71-72``) must equal two separate
+    sweeps on every output: per-frame SAD/validity never mix across groups."""
+    from monorec_tpu.ops.cost_volume import compute_cost_volume_pair
+
+    kf, ki, kp, frames, fi, fposes, imax, imin = _cv_args()
+    b = kf.shape[0]
+    rng = np.random.default_rng(7)
+    sp_ = np.tile(np.eye(4, dtype=np.float32), (b, 1, 1))
+    sp_[:, 0, 3] = 0.54
+    sp_ = jnp.asarray(sp_)
+    stereo = jnp.asarray(rng.uniform(-0.5, 0.5, np.asarray(kf).shape).astype(np.float32))
+
+    cfg = CostVolumeConfig(depth_steps=4)
+    m_f, m_s, s_f, s_s, cov = compute_cost_volume_pair(
+        kf, ki, kp, frames, fi, fposes, stereo, ki, sp_, imax, imin, cfg,
+        backend="pallas", interpret=True,
+    )
+    em_f, em_s, ecov_m = compute_cost_volume(
+        kf, ki, kp, frames, fi, fposes, imax, imin, cfg,
+        backend="pallas", interpret=True, return_coverage=True,
+    )
+    es_f, es_s, ecov_s = compute_cost_volume(
+        kf, ki, kp, stereo[:, None], ki[:, None], sp_[:, None], imax, imin,
+        cfg, backend="pallas", interpret=True, return_coverage=True,
+    )
+    np.testing.assert_allclose(np.asarray(m_f), np.asarray(em_f), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(m_s), np.asarray(em_s), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(s_f), np.asarray(es_f), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(s_s), np.asarray(es_s), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(cov), np.asarray(ecov_m) + np.asarray(ecov_s), atol=0
+    )
+    # and the XLA fallback path (non-kernel backends make two plain calls)
+    xm_f, xm_s, xs_f, xs_s, _ = compute_cost_volume_pair(
+        kf, ki, kp, frames, fi, fposes, stereo, ki, sp_, imax, imin, cfg,
+        backend="xla",
+    )
+    exm_f, exm_s = compute_cost_volume(
+        kf, ki, kp, frames, fi, fposes, imax, imin, cfg, backend="xla"
+    )
+    np.testing.assert_allclose(np.asarray(xm_f), np.asarray(exm_f), atol=0)
+    np.testing.assert_allclose(np.asarray(xm_s), np.asarray(exm_s), atol=0)

@@ -432,3 +432,109 @@ def test_apply_gradients_guarded_skips_nonfinite():
     st_j, skipped = step(state, bad)
     assert float(skipped) == 1.0
     np.testing.assert_array_equal(np.asarray(st_j.params["w"]), np.asarray(params["w"]))
+
+
+def test_joint_depth_decode_equals_two_pass():
+    """The batched 2B-depth-decode formulation (one U-Net pass for the mono
+    and stereo decodes, same weights — reference runs them separately,
+    ``trainer/monorec_trainer.py:56-60,87-90``) must match the two-pass
+    formulation in both the stage-4 loss and its parameter gradients: the
+    decoder has no cross-batch ops and the stereo half is detached the same
+    way, so the programs are mathematically identical."""
+    from monorec_tpu.losses import depth_refinement_loss
+    from monorec_tpu.train import MonoRecTrainer
+
+    ds = SyntheticSweepDataset(
+        length=4, target_image_size=(32, 64), frame_count=2, return_stereo=True
+    )
+    dl = DataLoader(ds, batch_size=4, shuffle=False, num_workers=1, seed=3)
+    cfg = MonoRecConfig(
+        cv_depth_steps=4, pretrain_mode=0, augmentation="depth",
+        freeze_module=("att",),
+    )
+    model = MonoRec(cfg)
+    batch = next(iter(dl))
+    tx = make_optimizer({"type": "Adam", "args": {"lr": 1e-5}})
+    state = create_train_state(model, batch, jax.random.PRNGKey(0), tx)
+
+    def run(joint):
+        trainer = MonoRecTrainer(
+            model, depth_refinement_loss, [], state,
+            {"trainer": {"compute_mono_pred": True, "compute_stereo_pred": True,
+                         "compute_mask": True, "mult_mask_on_cv": True,
+                         "joint_depth_decode": joint,
+                         "epochs": 1, "len_epoch": 1, "alpha": 0.5,
+                         "tensorboard": False, "log_step": 100}},
+            dl, run_dir="/tmp/monorec_joint_decode_test",
+            options=("stereo", "stereo_repr"),
+        )
+
+        def loss_fn(params):
+            loss_dict, _ = trainer._feed(
+                params, state.batch_stats, batch, jax.random.PRNGKey(1),
+                True, jnp.float32(0.5),
+            )
+            return loss_dict["loss"]
+
+        loss, grads = jax.jit(jax.value_and_grad(loss_fn))(state.params)
+        return float(loss), jax.tree_util.tree_map(np.asarray, grads)
+
+    loss_j, grads_j = run(True)
+    loss_t, grads_t = run(False)
+    np.testing.assert_allclose(loss_j, loss_t, rtol=1e-6)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7),
+        grads_j, grads_t,
+    )
+
+
+def test_multidevice_numerical_equivalence_stage4():
+    """Stage-4 (depth refinement) variant of the stage-1 equivalence test:
+    loss AND updated params equal 1-vs-8 devices through the full
+    MonoRecTrainer step (stereo pass + mask + mult_mask_on_cv +
+    depth_refinement_loss). A sharding bug confined to the stage-4-only
+    branches (e.g. the stereo pseudo-GT backward) cannot hide behind the
+    stage-1 test. SGD for the same tolerance rationale as stage 1."""
+    from monorec_tpu.losses import depth_refinement_loss
+    from monorec_tpu.train import MonoRecTrainer
+
+    ds = SyntheticSweepDataset(
+        length=8, target_image_size=(32, 64), frame_count=2, return_stereo=True
+    )
+    dl = DataLoader(ds, batch_size=8, shuffle=False, num_workers=1, seed=13)
+    cfg = MonoRecConfig(
+        cv_depth_steps=4, pretrain_mode=0, augmentation="depth",
+        freeze_module=("att",),
+    )
+    model = MonoRec(cfg)
+    batch = next(iter(dl))
+    tx = make_optimizer({"type": "SGD", "args": {"lr": 1e-2}})
+
+    def run(n_devices):
+        mesh = make_mesh(n_devices)
+        state = create_train_state(model, batch, jax.random.PRNGKey(0), tx)
+        trainer = MonoRecTrainer(
+            model, depth_refinement_loss, [], state,
+            {"trainer": {"compute_mono_pred": True, "compute_stereo_pred": True,
+                         "compute_mask": True, "mult_mask_on_cv": True,
+                         "epochs": 1, "len_epoch": 1, "alpha": 0.5,
+                         "tensorboard": False, "log_step": 100}},
+            dl, run_dir="/tmp/monorec_equiv_stage4_test", mesh=mesh,
+            options=("stereo", "stereo_repr"),
+        )
+        trainer._build_steps()
+        sharded = shard_batch(batch, mesh)
+        new_state, loss_dict, _, _ = trainer._train_step(
+            trainer.state, sharded, jax.random.PRNGKey(1), jnp.float32(0.5)
+        )
+        return float(loss_dict["loss"]), jax.tree_util.tree_map(
+            np.asarray, new_state.params
+        )
+
+    loss_1, params_1 = run(1)
+    loss_8, params_8 = run(8)
+    np.testing.assert_allclose(loss_8, loss_1, rtol=1e-5)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-5, atol=5e-7),
+        params_1, params_8,
+    )

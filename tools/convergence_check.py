@@ -27,12 +27,13 @@ def _note(msg):
     print(f"[conv {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
 
 
-def run_policy(policy: str, steps: int, batch_size: int, log_every: int):
+def run_policy(policy: str, steps: int, batch_size: int, log_every: int,
+               stage: int = 1):
     import jax
     import jax.numpy as jnp
 
     from monorec_tpu.data import DataLoader, SyntheticSweepDataset
-    from monorec_tpu.losses import depth_loss
+    from monorec_tpu.losses import depth_loss, depth_refinement_loss
     from monorec_tpu.models import MonoRec, MonoRecConfig
     from monorec_tpu.precision import apply_to_model_kwargs, set_precision
     from monorec_tpu.train.state import create_train_state, make_optimizer
@@ -41,38 +42,85 @@ def run_policy(policy: str, steps: int, batch_size: int, log_every: int):
     # does not apply to this pattern.
     set_precision(policy, expect_rebuild=True)
 
-    model = MonoRec(
-        MonoRecConfig(
-            cv_depth_steps=32, pretrain_mode=1, pretrain_dropout=0.5,
-            augmentation="depth", **apply_to_model_kwargs({}),
+    if stage == 4:
+        # Depth refinement: the stereo branch acts as detached pseudo-GT
+        # for dynamic pixels (reference ``monorec_loss.py:330-340``) — the
+        # configuration where bf16 drift becomes *label* noise, so the
+        # policy evidence must cover it (configs/train/monorec/
+        # monorec_depth_ref.json: frozen att, mult_mask_on_cv, lr 1e-5,
+        # options stereo+stereo_repr).
+        model = MonoRec(
+            MonoRecConfig(
+                cv_depth_steps=32, pretrain_mode=0, augmentation="depth",
+                freeze_module=("att",), **apply_to_model_kwargs({}),
+            )
         )
-    )
+    else:
+        model = MonoRec(
+            MonoRecConfig(
+                cv_depth_steps=32, pretrain_mode=1, pretrain_dropout=0.5,
+                augmentation="depth", **apply_to_model_kwargs({}),
+            )
+        )
     ds = SyntheticSweepDataset(
         length=64, target_image_size=(256, 512), frame_count=2,
         return_stereo=True, seed=0,
     )
     dl = DataLoader(ds, batch_size=batch_size, shuffle=True, num_workers=2, seed=7)
     batch0 = next(iter(dl))
-    tx = make_optimizer({"type": "Adam", "args": {"lr": 1e-4, "amsgrad": True}})
+    lr = 1e-5 if stage == 4 else 1e-4
+    tx = make_optimizer({"type": "Adam", "args": {"lr": lr, "amsgrad": True}})
     state = create_train_state(model, batch0, jax.random.PRNGKey(0), tx)
 
     import functools
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def step(state, batch, rng):
-        def losses(params):
-            out = model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
-                batch, True,
-                rngs={
-                    "dropout": jax.random.fold_in(rng, 0),
-                    "augment": jax.random.fold_in(rng, 1),
-                },
-            )
-            return depth_loss({**batch, **out}, 0.5, None, ("stereo",))["loss"]
+    if stage == 4:
+        from monorec_tpu.train import MonoRecTrainer
 
-        loss, grads = jax.value_and_grad(losses)(state.params)
-        return state.apply_gradients(grads), loss
+        class _Loader:
+            def __init__(self, b):
+                self.batch, self.batch_size = b, batch_size
+
+            def __iter__(self):
+                return iter([self.batch])
+
+            def __len__(self):
+                return 1
+
+        trainer = MonoRecTrainer(
+            model, depth_refinement_loss, [], state,
+            {"trainer": {"compute_mono_pred": True, "compute_stereo_pred": True,
+                         "compute_mask": True, "mult_mask_on_cv": True,
+                         "epochs": 1, "alpha": 0.5, "tensorboard": False}},
+            data_loader=_Loader(batch0),
+            run_dir=f"/tmp/monorec_conv_stage4_{policy}",
+            options=("stereo", "stereo_repr"),
+        )
+        trainer._build_steps()
+
+        def step(state, batch, rng):
+            new_state, loss_dict, _, _ = trainer._train_step(
+                state, batch, rng, jnp.float32(0.5)
+            )
+            return new_state, loss_dict["loss"]
+
+    else:
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def step(state, batch, rng):
+            def losses(params):
+                out = model.apply(
+                    {"params": params, "batch_stats": state.batch_stats},
+                    batch, True,
+                    rngs={
+                        "dropout": jax.random.fold_in(rng, 0),
+                        "augment": jax.random.fold_in(rng, 1),
+                    },
+                )
+                return depth_loss({**batch, **out}, 0.5, None, ("stereo",))["loss"]
+
+            loss, grads = jax.value_and_grad(losses)(state.params)
+            return state.apply_gradients(grads), loss
 
     curve = []
     rng = jax.random.PRNGKey(1)
@@ -123,6 +171,7 @@ def main():
     ap.add_argument("--steps", type=int, default=300)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--log-every", type=int, default=25)
+    ap.add_argument("--stage", type=int, default=1, choices=(1, 4))
     args = ap.parse_args()
 
     os.environ.setdefault(
@@ -133,11 +182,14 @@ def main():
 
     res = {}
     for policy in ("exact", "serving"):
-        _note(f"=== policy {policy} ===")
-        res[policy] = run_policy(policy, args.steps, args.batch, args.log_every)
+        _note(f"=== policy {policy} (stage {args.stage}) ===")
+        res[policy] = run_policy(
+            policy, args.steps, args.batch, args.log_every, args.stage
+        )
 
     e, s = res["exact"], res["serving"]
     out = {
+        "stage": args.stage,
         "steps": args.steps,
         "batch": args.batch,
         "final_loss_exact": round(e["final_loss"], 6),
