@@ -11,8 +11,20 @@ an extended block with a 2-pixel halo and computes the photometric score
   are DMA'd via scalar-prefetch-driven index maps; plane-sweep displacement
   is monotonic in inverse depth, so the union bounds come from the chunk's
   two endpoint hypotheses;
-* ONE row-aligned band slab (an exact one-hot permutation matmul) is shared
-  by all ``dchunk`` hypotheses; the x displacement profile — which varies by
+* the row-aligned band slab (an exact one-hot permutation matmul) is
+  anchored per program by a SHARED-OR-SPLIT decision (r05): when one
+  chunk-shared row base keeps every hypothesis' taps inside KY — the
+  common case at driving-scale parallax — the slab is built once; when
+  the chunk's inter-depth y drift would overflow it, each hypothesis
+  rebuilds at its own PER-DEPTH row base (exact vector min over its own
+  hinted pixels), staged through scratch so the builds stay
+  runtime-conditional. The r02-r04 chunk-shared-only base silently lost
+  1.25% of px-depths at 1.6 m/frame + 2 deg rotation; per-depth bases
+  confine the loss to the truly-past-envelope 0.31%
+  (``MONOREC_CV_ROW_BASES`` pins shared/per_depth statically for
+  experiments — measured bf16 mono-sweep cost 56.4 / 63.7 / 59.2 ms for
+  shared / per_depth / auto);
+  the x displacement profile — which varies by
   tens of pixels across a block under forward motion (zoom about the FOE)
   and by ~12 px across the chunk's hypotheses at near depths — is absorbed
   by PER-DEPTH PER-LANE integer shears folded into the lane-selection
@@ -72,10 +84,12 @@ COLS_E = COLS + 2 * HALO
 BAND_H = 64
 PAD_Y = 192  # zero padding of the source image (multiple of BAND_H)
 PAD_X = 256
-KY = 20  # row tap window (shared row base over the depth chunk): within-
-# block y zoom spans ROWS_E*tz*inv_depth_max px — ~10 at tz=1.6 (KITTI
-# highway frame spacing), ~13 at tz=2.2 — plus ~2 px inter-depth drift and
-# 2 bilinear/floor margin. Pixels beyond land in the coverage counter.
+KY = 21  # row tap window (per-depth row bases, r05): only the WITHIN-
+# block y zoom enters — ROWS_E*tz*inv_depth_max px, ~10 at tz=1.6 (KITTI
+# highway frame spacing), ~13 at tz=2.2 — plus rotation-induced variation
+# and 2 bilinear/floor margin; the chunk's inter-depth drift moves each
+# hypothesis' own slab window instead. Pixels beyond land in the coverage
+# counter.
 PY_N = 40  # row-permutation output rows (>= KY + ROWS_E - 1, mult of 8)
 R_PD = 6  # residual lane taps after the PER-DEPTH per-lane shear: the
 # bilinear fraction (2) + within-block row variation of the x displacement
@@ -109,6 +123,17 @@ def _union_bases(m_first, m_last, y0h, x0h, height, width):
     b1 = _corner_displacement_bounds(m_last, y0h, x0h, ROWS_E, COLS_E)
     dy_min = jnp.minimum(b0[0], b1[0])
     dx_min = jnp.minimum(b0[2], b1[2])
+    # Hinted lower bound: only pixels whose source lands inside the image
+    # (plus the 1 px bilinear reach) ever contribute — their displacement
+    # satisfies dy >= -1 - y for every block pixel y, so the fetch base
+    # never needs to sit below -(y0h + ROWS_E). Without this, an
+    # out-of-image corner at a near-depth hypothesis can drag the window
+    # tens of rows below every warpable pixel and the per-depth re-anchor
+    # then hits the window's slack clip (r05: measured source of residual
+    # coverage loss under strong forward motion). Scalar math, identical
+    # in index maps and body.
+    dy_min = jnp.maximum(dy_min, -(y0h + ROWS_E) + 0.0)
+    dx_min = jnp.maximum(dx_min, -(x0h + COLS_E) + 0.0)
     # Clip so the band window always stays inside the padded image
     # (pixels needing more land in the coverage counter).
     by = jnp.clip(jnp.floor(dy_min), -(PAD_Y - HALO) + 0.0, PAD_Y + 0.0)
@@ -138,6 +163,7 @@ def _sad_kernel(
     macc_s,  # scratch (dchunk, 2, ROWS_E, COLS_E): border-mask accumulators
     shear_s,  # scratch (dchunk*R_PD, C, PY_N, 256): per-depth sheared slabs
     wx_s,  # scratch (dchunk*R_PD, ROWS_E, COLS_E): x tap weights
+    slab_s,  # scratch (2*parts, C, PY_N, 256): staged aligned-slab halves
     *,
     height: int,
     width: int,
@@ -148,6 +174,7 @@ def _sad_kernel(
     use_ssim: int,
     channel_weights: Tuple[float, ...],
     interpret: bool,
+    row_base_mode: str,
 ):
     n = pl.program_id(0)
     rb = pl.program_id(1)
@@ -175,7 +202,7 @@ def _sad_kernel(
         _read_hom(hom_ref, n, dc * dchunk + dd, n_depths) for dd in range(dchunk)
     ]
     by, bx, ry, lx = _union_bases(ms[0], ms[-1], y0h, x0h, height, width)
-    bxf = bx.astype(jnp.float32)  # row base is re-anchored below (by_t)
+    bxf = bx.astype(jnp.float32)  # row bases are re-anchored per depth below
     off_y = (y0h + by + PAD_Y) - ry * BAND_H
     off_x = (x0h + bx + PAD_X) - lx * BAND_W
     # Per-lane shears may go as low as -off_x: the 512-lane slab starts
@@ -214,36 +241,75 @@ def _sad_kernel(
 
     pos = jnp.float32(1e9)
     neg = -pos
-    # Exact hinted ROW base: the fetch base `by` is a hint-free corner
-    # lower bound, which an out-of-image corner can drag ~10 px below the
-    # warpable pixels (overflowing KY). Re-anchor the tap base at the exact
-    # vector min over pixels hinted at ANY hypothesis of the endpoint
-    # values (monotonic in inverse depth), clamped into the fetched 2-band
-    # window; pixels past the clamp land in the coverage counter.
-    any_hi = his[0]
-    for hh in his[1:]:
-        any_hi = any_hi | hh
-    end_min_y = jnp.where(any_hi, jnp.minimum(dys[0], dys[-1]), pos)
+    # Exact hinted PER-DEPTH row bases: the fetch base `by` is a hint-free
+    # corner lower bound for the whole chunk; each hypothesis re-anchors
+    # its OWN slab window at the exact vector min over its own hinted
+    # pixels, clamped into the fetched 2-band window (pixels past the
+    # clamp land in the coverage counter). A single chunk-shared base
+    # (floor of the endpoint min, the pre-r05 design) overflows the
+    # PY_N-row slab once the chunk's inter-depth y drift + the in-block
+    # zoom span exceed KY — measured 105k uncovered pixels at 1.6 m/frame
+    # + 2 deg rotation at 256x512 (tools/tpu_checks.py). Per-depth bases
+    # remove the drift term entirely; only the in-block span remains
+    # (ROWS_E*tz*inv_depth ~ 10 px at tz=1.6), which KY=20 covers to
+    # ~tz=2.5. Cost: the aligned slab is built per hypothesis instead of
+    # per chunk (the build matmuls are ~4% of the select matmuls; the
+    # select's M=C*PY_N=120 single-MXU-tile shape is untouched).
     slack = (2 * BAND_H - PY_N) - off_y
-    by_t = jnp.clip(
-        jnp.floor(jnp.min(end_min_y)).astype(jnp.int32), by, by + slack
-    )
-    byf = by_t.astype(jnp.float32)
-    off_y = off_y + (by_t - by)
 
-    # PER-DEPTH per-lane shears: each hypothesis' own lane profile (min over
-    # its own hinted pixels per lane) is absorbed into its own selection
-    # one-hot, so the residual tap window only spans the bilinear fraction +
-    # in-block variation (R_PD taps) instead of fraction + the chunk's
-    # inter-depth drift (up to ~12 px at near depths under forward motion —
-    # the round-2 shared-shear design paid sy_hi*~14 taps x dchunk
-    # accumulates there; this pays sy_hi*~4 x dchunk).
-    fys, fxrs, xshfs, r_his = [], [], [], []
+    own_bys = []
+    for dd in range(dchunk):
+        own_min_y = jnp.min(jnp.where(his[dd], dys[dd], pos))
+        own_bys.append(
+            jnp.clip(jnp.floor(own_min_y).astype(jnp.int32), by, by + slack)
+        )
+
+    # Shared-or-split slab decision: if ONE chunk-shared row base (the min
+    # of the per-depth bases) keeps every hypothesis' fy inside KY — the
+    # common case at driving-scale parallax, where the chunk's inter-depth
+    # drift is a few px — the aligned slab is built once and shared
+    # (identical cost to the r02-r04 design). Only when the drift would
+    # overflow KY does each hypothesis re-anchor at its own base and pay a
+    # per-depth slab build (+~9% sweep time, measured): the drift then
+    # moves each window instead of eating the tap budget — the pre-r05
+    # shared-only design lost 105k pixels at 1.6 m/frame + 2 deg rotation
+    # at 256x512 (tools/tpu_checks.py).
+    shared_by = own_bys[0]
+    for bd in own_bys[1:]:
+        shared_by = jnp.minimum(shared_by, bd)
+    shared_byf = shared_by.astype(jnp.float32)
+    if row_base_mode == "shared":  # static: always one chunk-shared base
+        shared_ok = jnp.bool_(True)
+    elif row_base_mode == "per_depth":  # static: always per-depth bases
+        shared_ok = jnp.bool_(False)
+    else:  # runtime decision per program
+        shared_fy_max = neg
+        for dd in range(dchunk):
+            shared_fy_max = jnp.maximum(
+                shared_fy_max,
+                jnp.max(jnp.where(his[dd], dys[dd] - shared_byf, neg)),
+            )
+        shared_ok = shared_fy_max <= KY - 1.0
+
+    fys, fxrs, xshfs, r_his, by_dds, byf_dds = [], [], [], [], [], []
     sy_hi = jnp.int32(0)
     r_hi = jnp.int32(0)
     for dd in range(dchunk):
         hi = his[dd]
-        fy = dys[dd] - byf
+        if row_base_mode == "shared":
+            by_dd = shared_by
+        elif row_base_mode == "per_depth":
+            by_dd = own_bys[dd]
+        else:
+            by_dd = jnp.where(shared_ok, shared_by, own_bys[dd])
+        byf_dd = by_dd.astype(jnp.float32)
+        by_dds.append(by_dd)
+        byf_dds.append(byf_dd)
+        fy = dys[dd] - byf_dd
+        # PER-DEPTH per-lane shears: each hypothesis' own lane profile
+        # (min over its own hinted pixels per lane) is absorbed into its
+        # own selection one-hot, so the residual tap window only spans the
+        # bilinear fraction + in-block variation (R_PD taps).
         lane_min = jnp.min(jnp.where(hi, dxs[dd], pos), axis=0, keepdims=True)
         xsh_dd = jnp.clip(
             jnp.floor(lane_min - bxf), xsh_lo, float(XSH_MAX)
@@ -273,13 +339,6 @@ def _sad_kernel(
         r_his.append(r_hi_dd)
         r_hi = jnp.maximum(r_hi, r_hi_dd)
 
-    # --- row-aligned slab (shared by the whole chunk; machinery in
-    # slab.py, shared with grid_warp.py) -----------------------------------
-    halves, shear_dtype = build_aligned_slab(
-        band00_ref[0], band01_ref[0], band10_ref[0], band11_ref[0],
-        off_y, PY_N, interpret,
-    )
-
     # Base index maps for the sheared one-hots, one per hypothesis:
     # src = dst + off_x + xsh_dd[dst].
     lane_src, lane_dst = lane_iotas(256)
@@ -292,20 +351,51 @@ def _sad_kernel(
     acc_s[...] = jnp.zeros(acc_s.shape, jnp.float32)
     macc_s[...] = jnp.zeros(macc_s.shape, jnp.float32)
 
-    # --- phase A: per-depth sheared slabs + x weights + x border interp ----
+    # --- phase A: aligned slab (shared or per-depth) + sheared slabs ------
     # Scratch is flat (dchunk*R_PD, ...) so phase B can index it with one
     # dynamic leading index (the proven-safe Mosaic pattern). The weights
     # are written under the SHARED bound r_hi: for s in [r_hi_dd, r_hi) the
     # hat weight is exactly zero for every pixel of depth dd (s >=
     # floor(fxr_max)+2), so phase B's reads of that depth's stale slab
     # slots are annihilated; only the expensive selection matmul is guarded
-    # by the per-depth bound.
-    for s in range(R_PD):
-        sf = float(s)
+    # by the per-depth bound... which here is also the shared bound, since
+    # an unwritten slot could hold non-finite bits that survive
+    # multiplication by a zero weight (0*NaN).
+    parts = 1 if band00_ref.dtype == jnp.bfloat16 else 2
+    shear_dtype = jnp.float32 if interpret else jnp.bfloat16
 
-        @pl.when(any_hint & (s < r_hi))
-        def _(s=s, sf=sf):
-            for dd in range(dchunk):
+    def build(off):
+        return build_aligned_slab(
+            band00_ref[0], band01_ref[0], band10_ref[0], band11_ref[0],
+            off, PY_N, interpret,
+        )[0]
+
+    halves_v = None
+    for dd in range(dchunk):
+        # Row-aligned slab (machinery in slab.py, shared with
+        # grid_warp.py): built once when the chunk shares one base,
+        # rebuilt at this hypothesis' own base otherwise. The static
+        # modes keep the slab in registers; "auto" stages it through
+        # scratch so the build can be runtime-conditional.
+        off_y_dd = off_y + (by_dds[dd] - by)
+        if row_base_mode == "shared":
+            if dd == 0:
+                halves_v = build(off_y_dd)
+        elif row_base_mode == "per_depth":
+            halves_v = build(off_y_dd)
+        else:
+
+            @pl.when(any_hint & ((dd == 0) | jnp.logical_not(shared_ok)))
+            def _(dd=dd, off_y_dd=off_y_dd):
+                for p, (left, right) in enumerate(build(off_y_dd)):
+                    slab_s[p] = left
+                    slab_s[parts + p] = right
+
+        for s in range(R_PD):
+            sf = float(s)
+
+            @pl.when(any_hint & (s < r_hi))
+            def _(s=s, sf=sf, dd=dd, halves_v=halves_v):
                 tx = cols + bxf + xshfs[dd][1] + sf
                 ind_x = (
                     (tx >= border_radius) & (tx < width - border_radius)
@@ -320,17 +410,12 @@ def _sad_kernel(
                 wx = wx * his[dd].astype(jnp.float32)
                 wx_s[dd * R_PD + s] = wx
                 macc_s[dd, 1] += wx * ind_x
-
-        for dd in range(dchunk):
-            # Guarded by the SHARED bound: phase B reads every (dd, s<r_hi)
-            # slot, and an unwritten slot could hold non-finite bits that
-            # survive multiplication by a zero weight (0*NaN). The per-depth
-            # bounds r_his[dd] track the shared max to within ~1 (they are
-            # all fraction + row-variation), so the extra matmuls are rare.
-            @pl.when(any_hint & (s < r_hi))
-            def _(s=s, dd=dd):
+                if halves_v is None:
+                    halves_v = [
+                        (slab_s[p], slab_s[parts + p]) for p in range(parts)
+                    ]
                 shear_s[dd * R_PD + s] = select_lanes(
-                    halves, lane_src, shear_bases[dd], s, shear_dtype,
+                    halves_v, lane_src, shear_bases[dd], s, shear_dtype,
                 )  # (C, PY_N, 256)
 
     # --- phase B: banded y taps over the per-depth sheared slabs ----------
@@ -339,12 +424,12 @@ def _sad_kernel(
 
         @pl.when(any_hint & (sy < sy_hi))
         def _(sy=sy, syf=syf):
-            ty = rows + byf + syf
-            ind_y = (
-                (ty >= border_radius) & (ty < height - border_radius)
-            ).astype(jnp.float32)
             wys = []
             for dd in range(dchunk):
+                ty = rows + byf_dds[dd] + syf
+                ind_y = (
+                    (ty >= border_radius) & (ty < height - border_radius)
+                ).astype(jnp.float32)
                 wy = jnp.clip(1.0 - jnp.abs(fys[dd] - syf), 0.0, 1.0)
                 wys.append(wy)
                 macc_s[dd, 0] += wy * ind_y
@@ -411,13 +496,6 @@ def _sad_kernel(
         wmask_ref[0, dd] = wm[HALO : HALO + ROWS, HALO : HALO + COLS]
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "border_radius", "frames_per_image", "use_ssim", "channel_weights",
-        "interpret",
-    ),
-)
 def plane_sweep_sad(
     images: Array,  # (N, C, H, W) float32 or bfloat16 in [-0.5, 0.5]
     keyframes: Array,  # (B, C, H, W) float32, N == B * frames_per_image
@@ -427,6 +505,41 @@ def plane_sweep_sad(
     use_ssim: int = 1,
     channel_weights: Tuple[float, ...] = (5 / 32 / 9, 16 / 32 / 9, 11 / 32 / 9),
     interpret: bool = False,
+    row_base_mode: str = None,
+) -> Tuple[Array, Array, Array]:
+    """Public entry: resolves the row-base mode (env override read OUTSIDE
+    the jit boundary so it can never alias a stale cache entry) and
+    delegates to the jitted implementation."""
+    import os as _os
+
+    if row_base_mode is None:
+        row_base_mode = _os.environ.get("MONOREC_CV_ROW_BASES", "auto")
+    assert row_base_mode in ("auto", "shared", "per_depth"), row_base_mode
+    return _plane_sweep_sad_impl(
+        images, keyframes, homographies,
+        border_radius=border_radius, frames_per_image=frames_per_image,
+        use_ssim=use_ssim, channel_weights=channel_weights,
+        interpret=interpret, row_base_mode=row_base_mode,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "border_radius", "frames_per_image", "use_ssim", "channel_weights",
+        "interpret", "row_base_mode",
+    ),
+)
+def _plane_sweep_sad_impl(
+    images: Array,  # (N, C, H, W) float32 or bfloat16 in [-0.5, 0.5]
+    keyframes: Array,  # (B, C, H, W) float32, N == B * frames_per_image
+    homographies: Array,  # (N, D, 3, 3), normalized so m22 == 1
+    border_radius: int = 2,
+    frames_per_image: int = 2,
+    use_ssim: int = 1,
+    channel_weights: Tuple[float, ...] = (5 / 32 / 9, 16 / 32 / 9, 11 / 32 / 9),
+    interpret: bool = False,
+    row_base_mode: str = "auto",
 ) -> Tuple[Array, Array, Array]:
     """Fused plane-sweep scoring: SAD(SSIM(warp(images), keyframe)).
 
@@ -449,6 +562,13 @@ def plane_sweep_sad(
     # inter-depth y drift inside KY — small-D sweeps (coarse hypothesis
     # spacing) use smaller chunks to keep that drift bounded. The LANE
     # residual is per-depth (own shear) and does not constrain dchunk.
+    # dchunk=8 measured +3% on the zero-parallax stage-4 bench batch (r05
+    # probe) but OVERFLOWS KY under 0.8 m/frame forward motion at 256x512
+    # (tools/tpu_checks.py: 353k uncovered pixels, parity FAIL) — an
+    # 8-hypothesis chunk near the close end of the sweep spans ~8 px of
+    # inter-depth y drift at the image border on top of the in-block zoom
+    # spread. 4 stays the default; MONOREC_CV_DCHUNK=8 remains available
+    # for genuinely low-parallax workloads.
     if d % 4 == 0 and d >= 24:
         dchunk = 4
     elif d % 2 == 0 and d >= 12:
@@ -460,6 +580,7 @@ def plane_sweep_sad(
     _force = _os.environ.get("MONOREC_CV_DCHUNK")  # perf experiments only
     if _force and d % int(_force) == 0:
         dchunk = int(_force)
+
 
     padded = jnp.pad(images, ((0, 0), (0, 0), (PAD_Y, PAD_Y), (PAD_X, PAD_X)))
     key_p = jnp.pad(
@@ -510,6 +631,7 @@ def plane_sweep_sad(
         use_ssim=use_ssim,
         channel_weights=channel_weights,
         interpret=interpret,
+        row_base_mode=row_base_mode,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -544,6 +666,10 @@ def plane_sweep_sad(
             pltpu.VMEM((dchunk, 2, ROWS_E, COLS_E), jnp.float32),
             pltpu.VMEM((dchunk * R_PD, c, PY_N, 256), jnp.float32),
             pltpu.VMEM((dchunk * R_PD, ROWS_E, COLS_E), jnp.float32),
+            pltpu.VMEM(
+                (2 * (1 if images.dtype == jnp.bfloat16 else 2), c, PY_N, 256),
+                jnp.float32 if interpret else jnp.bfloat16,
+            ),
         ],
     )
 
