@@ -103,6 +103,19 @@ def apply_mask_aug(x: Array, params: MaskAugParams) -> Array:
     return grid_sample_nhwc(x, grid, backend="auto")
 
 
+def apply_mask_aug_frames(x: Array, params: MaskAugParams) -> Array:
+    """Mask augmentation for (B, F, H, W, C) frame stacks: folds the frame
+    axis into batch with per-frame-repeated params instead of vmapping —
+    vmapping the Pallas grid-warp kernel batches its 1-D SMEM coverage
+    output into a (F, N) block the TPU lowering rejects (surfaced by the
+    first full-res stage-2 run on chip, tools/curriculum_fullres.py), and
+    the folded form is one bigger launch instead of F."""
+    b, f = x.shape[:2]
+    rep = MaskAugParams(*(jnp.repeat(p, f, axis=0) for p in params))
+    flat = apply_mask_aug(x.reshape((b * f,) + x.shape[2:]), rep)
+    return flat.reshape(x.shape)
+
+
 def apply_mask_aug_tree(tree, params: MaskAugParams):
     """Apply mask augmentation to every array leaf of a pytree of NHWC (or
     N F H W C) tensors, flattening frame axes as needed."""
@@ -111,7 +124,7 @@ def apply_mask_aug_tree(tree, params: MaskAugParams):
         if x.ndim == 4:
             return apply_mask_aug(x, params)
         if x.ndim == 5:
-            return jax.vmap(lambda xf: apply_mask_aug(xf, params), in_axes=1, out_axes=1)(x)
+            return apply_mask_aug_frames(x, params)
         return x
 
     return jax.tree_util.tree_map(one, tree)

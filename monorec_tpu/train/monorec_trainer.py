@@ -30,6 +30,7 @@ import jax.numpy as jnp
 
 from monorec_tpu.models.augmentation import (
     apply_mask_aug,
+    apply_mask_aug_frames,
     conditional_hflip,
     sample_flip_conditions,
     sample_mask_aug_params,
@@ -98,10 +99,7 @@ class MonoRecTrainer(Trainer):
 
             def aug_one(x):
                 if x.ndim == 5:  # (B, F, H, W, C): per-frame stacks / sfcvs
-                    return jax.vmap(
-                        lambda xf: apply_mask_aug(xf, mask_params),
-                        in_axes=1, out_axes=1,
-                    )(x)
+                    return apply_mask_aug_frames(x, mask_params)
                 return apply_mask_aug(x, mask_params)
 
             data["keyframe"] = aug_one(batch["keyframe"])

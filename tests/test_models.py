@@ -179,3 +179,27 @@ def test_bfloat16_compute_dtype_close_to_f32(batch):
         assert c.dtype == np.float32
         scale = np.abs(a).mean()
         assert np.abs(a - c).mean() / scale < 2e-2, key
+
+
+def test_mask_aug_frames_fold_equals_vmap():
+    """The frame-folded mask augmentation (one launch, params repeated per
+    frame) must equal the per-frame vmap formulation exactly — the fold
+    exists because vmapping the Pallas warp batches its SMEM coverage
+    output into a block the TPU lowering rejects (first full-res stage-2
+    run), so the semantics are pinned on the XLA path here."""
+    import numpy as np
+
+    from monorec_tpu.models.augmentation import (
+        apply_mask_aug,
+        apply_mask_aug_frames,
+        sample_mask_aug_params,
+    )
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.uniform(-0.5, 0.5, (3, 2, 16, 64, 3)).astype(np.float32))
+    params = sample_mask_aug_params(jax.random.PRNGKey(5), 3, 16, 64)
+    folded = apply_mask_aug_frames(x, params)
+    ref = jax.vmap(
+        lambda xf: apply_mask_aug(xf, params), in_axes=1, out_axes=1
+    )(x)
+    np.testing.assert_allclose(np.asarray(folded), np.asarray(ref), atol=0)
