@@ -17,13 +17,13 @@ an extended block with a 2-pixel halo and computes the photometric score
   common case at driving-scale parallax — the slab is built once; when
   the chunk's inter-depth y drift would overflow it, each hypothesis
   rebuilds at its own PER-DEPTH row base (exact vector min over its own
-  hinted pixels), staged through scratch so the builds stay
-  runtime-conditional. The r02-r04 chunk-shared-only base silently lost
-  1.25% of px-depths at 1.6 m/frame + 2 deg rotation; per-depth bases
-  confine the loss to the truly-past-envelope 0.31%
-  (``MONOREC_CV_ROW_BASES`` pins shared/per_depth statically for
-  experiments — measured bf16 mono-sweep cost 56.4 / 63.7 / 59.2 ms for
-  shared / per_depth / auto);
+  hinted pixels). Both variants are emitted under runtime predicates with
+  the selection matmuls INSIDE each branch, so the slab stays in
+  registers (a scratch-staged formulation measured ~+3 ms/sweep of pure
+  roundtrips). The r02-r04 chunk-shared-only base silently lost 1.25% of
+  px-depths at 1.6 m/frame + 2 deg rotation; per-depth bases confine the
+  loss to the truly-past-envelope 0.31% (``MONOREC_CV_ROW_BASES`` pins
+  shared/per_depth statically for experiments);
   the x displacement profile — which varies by
   tens of pixels across a block under forward motion (zoom about the FOE)
   and by ~12 px across the chunk's hypotheses at near depths — is absorbed
@@ -54,6 +54,7 @@ Layout: images (N, C, H, W) channels-first, W in lanes; outputs
 from __future__ import annotations
 
 import functools
+import os as _os_mod
 from typing import Tuple
 
 import jax
@@ -73,6 +74,12 @@ from monorec_tpu.ops.pallas.warp_kernel import (
 )
 
 Array = jax.Array
+
+# Perf-analysis ONLY (outputs become wrong): statically disable one kernel
+# phase to attribute sweep time. Read at import; set in a fresh process.
+# "" | "no_select" (skip lane-selection matmuls) | "no_tapb" (skip the y
+# tap loop) | "no_epilogue" (skip SSIM/SAD scoring).
+_ABLATE = _os_mod.environ.get("MONOREC_CV_ABLATE", "")
 
 ROWS = 16  # output rows per block
 COLS = 128  # output cols per block
@@ -163,7 +170,6 @@ def _sad_kernel(
     macc_s,  # scratch (dchunk, 2, ROWS_E, COLS_E): border-mask accumulators
     shear_s,  # scratch (dchunk*R_PD, C, PY_N, 256): per-depth sheared slabs
     wx_s,  # scratch (dchunk*R_PD, ROWS_E, COLS_E): x tap weights
-    slab_s,  # scratch (2*parts, C, PY_N, 256): staged aligned-slab halves
     *,
     height: int,
     width: int,
@@ -361,7 +367,6 @@ def _sad_kernel(
     # by the per-depth bound... which here is also the shared bound, since
     # an unwritten slot could hold non-finite bits that survive
     # multiplication by a zero weight (0*NaN).
-    parts = 1 if band00_ref.dtype == jnp.bfloat16 else 2
     shear_dtype = jnp.float32 if interpret else jnp.bfloat16
 
     def build(off):
@@ -370,56 +375,71 @@ def _sad_kernel(
             off, PY_N, interpret,
         )[0]
 
-    halves_v = None
-    for dd in range(dchunk):
-        # Row-aligned slab (machinery in slab.py, shared with
-        # grid_warp.py): built once when the chunk shares one base,
-        # rebuilt at this hypothesis' own base otherwise. The static
-        # modes keep the slab in registers; "auto" stages it through
-        # scratch so the build can be runtime-conditional.
-        off_y_dd = off_y + (by_dds[dd] - by)
-        if row_base_mode == "shared":
-            if dd == 0:
-                halves_v = build(off_y_dd)
-        elif row_base_mode == "per_depth":
-            halves_v = build(off_y_dd)
-        else:
+    def write_weights(dd, s, sf):
+        tx = cols + bxf + xshfs[dd][1] + sf
+        ind_x = (
+            (tx >= border_radius) & (tx < width - border_radius)
+        ).astype(jnp.float32)
+        # Zero the weight at unhinted pixels: their residual is
+        # arbitrary, and a nonzero hat weight there could read a
+        # slab slot no program ever wrote (uninitialized VMEM).
+        # Hinted pixels of depth dd are zero past r_his[dd] by
+        # construction. Unhinted pixels are masked downstream
+        # either way (their taps fail the border indicators).
+        wx = jnp.clip(1.0 - jnp.abs(fxrs[dd] - sf), 0.0, 1.0)
+        wx = wx * his[dd].astype(jnp.float32)
+        wx_s[dd * R_PD + s] = wx
+        macc_s[dd, 1] += wx * ind_x
 
-            @pl.when(any_hint & ((dd == 0) | jnp.logical_not(shared_ok)))
-            def _(dd=dd, off_y_dd=off_y_dd):
-                for p, (left, right) in enumerate(build(off_y_dd)):
-                    slab_s[p] = left
-                    slab_s[parts + p] = right
+    def select_all(shared_slab: bool):
+        """Sheared-slab selection for every (depth, lane-tap) slot. The
+        slab values are built INSIDE the caller's pl.when branch, so the
+        shared-vs-per-depth choice stays runtime-conditional without
+        staging the slab through scratch (a staged version measured
+        ~+3 ms per sweep in pure roundtrips)."""
+        halves_v = None
+        for dd in range(dchunk):
+            if not shared_slab or dd == 0:
+                halves_v = build(off_y + (by_dds[dd] - by))
+            for s in range(R_PD):
 
-        for s in range(R_PD):
-            sf = float(s)
+                @pl.when(s < r_hi)
+                def _(s=s, dd=dd, halves_v=halves_v):
+                    write_weights(dd, s, float(s))
+                    if _ABLATE != "no_select":
+                        shear_s[dd * R_PD + s] = select_lanes(
+                            halves_v, lane_src, shear_bases[dd], s,
+                            shear_dtype,
+                        )  # (C, PY_N, 256)
 
-            @pl.when(any_hint & (s < r_hi))
-            def _(s=s, sf=sf, dd=dd, halves_v=halves_v):
-                tx = cols + bxf + xshfs[dd][1] + sf
-                ind_x = (
-                    (tx >= border_radius) & (tx < width - border_radius)
-                ).astype(jnp.float32)
-                # Zero the weight at unhinted pixels: their residual is
-                # arbitrary, and a nonzero hat weight there could read a
-                # slab slot no program ever wrote (uninitialized VMEM).
-                # Hinted pixels of depth dd are zero past r_his[dd] by
-                # construction. Unhinted pixels are masked downstream
-                # either way (their taps fail the border indicators).
-                wx = jnp.clip(1.0 - jnp.abs(fxrs[dd] - sf), 0.0, 1.0)
-                wx = wx * his[dd].astype(jnp.float32)
-                wx_s[dd * R_PD + s] = wx
-                macc_s[dd, 1] += wx * ind_x
-                if halves_v is None:
-                    halves_v = [
-                        (slab_s[p], slab_s[parts + p]) for p in range(parts)
-                    ]
-                shear_s[dd * R_PD + s] = select_lanes(
-                    halves_v, lane_src, shear_bases[dd], s, shear_dtype,
-                )  # (C, PY_N, 256)
+    # Row-aligned slab (machinery in slab.py, shared with grid_warp.py):
+    # built once when the chunk shares one base, rebuilt per hypothesis
+    # otherwise. Static modes emit one branch; "auto" emits both under
+    # runtime predicates.
+    if row_base_mode == "shared":
+
+        @pl.when(any_hint)
+        def _():
+            select_all(shared_slab=True)
+
+    elif row_base_mode == "per_depth":
+
+        @pl.when(any_hint)
+        def _():
+            select_all(shared_slab=False)
+
+    else:
+
+        @pl.when(any_hint & shared_ok)
+        def _():
+            select_all(shared_slab=True)
+
+        @pl.when(any_hint & jnp.logical_not(shared_ok))
+        def _():
+            select_all(shared_slab=False)
 
     # --- phase B: banded y taps over the per-depth sheared slabs ----------
-    for sy in range(KY):
+    for sy in range(0 if _ABLATE == "no_tapb" else KY):
         syf = float(sy)
 
         @pl.when(any_hint & (sy < sy_hi))
@@ -453,6 +473,13 @@ def _sad_kernel(
     # (monorec_model.py:282-284), so this kernel leaves border-ring SAD
     # values unspecified instead of spending rolls on the reflection fix.
     cw = [float(x) for x in channel_weights]
+
+    if _ABLATE == "no_epilogue":
+        for dd in range(dchunk):
+            sad_ref[0, dd] = acc_s[dd, 0, HALO : HALO + ROWS, HALO : HALO + COLS]
+            wm = macc_s[dd, 0] * macc_s[dd, 1]
+            wmask_ref[0, dd] = wm[HALO : HALO + ROWS, HALO : HALO + COLS]
+        return
 
     for dd in range(dchunk):
         w = acc_s[dd] + 0.5  # warped + 0.5 (SSIM input domain, layers.py:120)
@@ -557,19 +584,20 @@ def _plane_sweep_sad_impl(
     assert n == b * frames_per_image, (n, b, frames_per_image)
     assert len(channel_weights) == c
 
-    # Depth hypotheses per program: the chunk shares one row-aligned slab
-    # (and the band DMA), so the shared ROW base must absorb the chunk's
-    # inter-depth y drift inside KY — small-D sweeps (coarse hypothesis
-    # spacing) use smaller chunks to keep that drift bounded. The LANE
-    # residual is per-depth (own shear) and does not constrain dchunk.
-    # dchunk=8 measured +3% on the zero-parallax stage-4 bench batch (r05
-    # probe) but OVERFLOWS KY under 0.8 m/frame forward motion at 256x512
-    # (tools/tpu_checks.py: 353k uncovered pixels, parity FAIL) — an
-    # 8-hypothesis chunk near the close end of the sweep spans ~8 px of
-    # inter-depth y drift at the image border on top of the in-block zoom
-    # spread. 4 stays the default; MONOREC_CV_DCHUNK=8 remains available
-    # for genuinely low-parallax workloads.
-    if d % 4 == 0 and d >= 24:
+    # Depth hypotheses per program. More hypotheses per chunk amortize the
+    # per-program fixed work — measured 2.9 us/program of setup
+    # (displacement grids, bases, Mosaic grid overhead), ~39% of the r05
+    # dchunk=4 sweep — and the r05 per-depth row bases absorb the chunk's
+    # inter-depth y drift, so dchunk no longer eats the KY tap budget
+    # (dchunk=8 coverage re-verified by the full tools/tpu_checks.py
+    # suite: in-envelope cases exactly 0). dchunk=8 on bf16 sources:
+    # 61.1 -> 53.0 ms on the B=8 F=2 D=32 mono sweep. f32 sources keep
+    # dchunk=4: their hi/lo two-pass matmuls at 48 slab slots degrade
+    # badly (241 vs 156 ms at tz=0.8) — VMEM pressure serializes the
+    # pipeline. MONOREC_CV_DCHUNK overrides for experiments.
+    if images.dtype == jnp.bfloat16 and d % 8 == 0 and d >= 32:
+        dchunk = 8
+    elif d % 4 == 0 and d >= 24:
         dchunk = 4
     elif d % 2 == 0 and d >= 12:
         dchunk = 2
@@ -666,10 +694,6 @@ def _plane_sweep_sad_impl(
             pltpu.VMEM((dchunk, 2, ROWS_E, COLS_E), jnp.float32),
             pltpu.VMEM((dchunk * R_PD, c, PY_N, 256), jnp.float32),
             pltpu.VMEM((dchunk * R_PD, ROWS_E, COLS_E), jnp.float32),
-            pltpu.VMEM(
-                (2 * (1 if images.dtype == jnp.bfloat16 else 2), c, PY_N, 256),
-                jnp.float32 if interpret else jnp.bfloat16,
-            ),
         ],
     )
 

@@ -328,7 +328,9 @@ def main():
             jnp.linspace(jnp.float32(0.33), jnp.float32(0.0025), d), h, w,
         )
     ).reshape(b * f, d, 3, 3)
-    dchunk = 4 if d % 4 == 0 and d >= 24 else (2 if d % 2 == 0 else 1)
+    # Mirrors the kernel's default: bf16 sources (the serving policy timed
+    # here) run dchunk=8 at D>=32.
+    dchunk = 8 if d % 8 == 0 and d >= 32 else (4 if d % 4 == 0 else 2)
     dchunk = int(os.environ.get("MONOREC_CV_DCHUNK", dchunk))
     print("[roofline] deriving CV tap bounds...", file=sys.stderr, flush=True)
     m = cv_kernel_model(homs, h, w, 3, dchunk, img_bytes=2)
