@@ -67,6 +67,7 @@ from monorec_tpu.ops.pallas.slab import (
     build_aligned_slab,
     lane_iotas,
     select_lanes,
+    select_lanes_weighted,
 )
 from monorec_tpu.ops.pallas.warp_kernel import (
     _corner_displacement_bounds,
@@ -354,6 +355,35 @@ def _sad_kernel(
         xsh_full = jnp.pad(xsh_dd, ((0, 0), (0, 256 - COLS_E)))
         shear_bases.append(lane_dst + off_x + xsh_full)  # (256, 256)
 
+    # Weighted-selection eligibility (select_lanes_weighted): when the x
+    # residual is ROW-UNIFORM — exactly true for translation-only
+    # homographies, i.e. rotation-free plane sweeps including every
+    # rectified stereo frame — and the per-lane shear absorbed the integer
+    # part exactly (residual in [0, 1) over hinted lanes), the two hat
+    # taps fold into ONE selection matmul per depth and the phase-B lane
+    # loop collapses to a single iteration. Gated off for f32 sources on
+    # real hardware: their selections must stay exact one-hots (bf16
+    # weights would leak ~2^-9 into the EXACT policy); bf16 (serving)
+    # sweeps already budget source quantization of that size, and
+    # interpret mode uses f32 weights (bit-exact) so the CPU parity tests
+    # cover the folded path.
+    wsel_static = interpret or band00_ref.dtype == jnp.bfloat16
+    if wsel_static and _ABLATE != "no_select":
+        xuni = jnp.bool_(True)
+        for dd in range(dchunk):
+            row0 = dxs[dd][0:1, :]
+            xuni = xuni & (jnp.max(jnp.abs(dxs[dd] - row0)) == 0.0)
+            fmin = jnp.min(jnp.where(his[dd], fxrs[dd], pos))
+            fmax = jnp.max(jnp.where(his[dd], fxrs[dd], neg))
+            # an all-unhinted hypothesis leaves fmin=+inf / fmax=-inf:
+            # trivially eligible (its weights are masked downstream).
+            xuni = xuni & (fmin >= 0.0) & (fmax < 1.0)
+    else:
+        xuni = jnp.bool_(False)
+    # Phase-B lane-tap bound: 1 in weighted mode (x interpolation already
+    # inside the slab), r_hi otherwise.
+    r_hi_b = jnp.where(xuni, jnp.int32(1), r_hi)
+
     acc_s[...] = jnp.zeros(acc_s.shape, jnp.float32)
     macc_s[...] = jnp.zeros(macc_s.shape, jnp.float32)
 
@@ -391,6 +421,39 @@ def _sad_kernel(
         wx_s[dd * R_PD + s] = wx
         macc_s[dd, 1] += wx * ind_x
 
+    def per_s_selects(dd, halves_v):
+        for s in range(R_PD):
+
+            @pl.when(s < r_hi)
+            def _(s=s):
+                write_weights(dd, s, float(s))
+                if _ABLATE != "no_select":
+                    shear_s[dd * R_PD + s] = select_lanes(
+                        halves_v, lane_src, shear_bases[dd], s, shear_dtype,
+                    )  # (C, PY_N, 256)
+
+    def weighted_select(dd, halves_v):
+        # Border-mask x interpolation: both hat taps, as the per-s path
+        # accumulates them (fxr in [0,1) here, so s=0 carries 1-fxr and
+        # s=1 carries fxr).
+        for s2 in (0, 1):
+            tx = cols + bxf + xshfs[dd][1] + float(s2)
+            ind_x = (
+                (tx >= border_radius) & (tx < width - border_radius)
+            ).astype(jnp.float32)
+            wtap = jnp.clip(1.0 - jnp.abs(fxrs[dd] - s2), 0.0, 1.0)
+            macc_s[dd, 1] += wtap * his[dd].astype(jnp.float32) * ind_x
+        # Phase B multiplies by wx_s: the bilinear weight lives in the
+        # slab now, so the slot carries only the hint mask.
+        wx_s[dd * R_PD] = his[dd].astype(jnp.float32)
+        fr = jnp.clip(
+            jnp.pad(fxrs[dd][0:1, :], ((0, 0), (0, 256 - COLS_E))),
+            0.0, 1.0,
+        )
+        shear_s[dd * R_PD] = select_lanes_weighted(
+            halves_v, lane_src, shear_bases[dd], fr, shear_dtype,
+        )  # (C, PY_N, 256)
+
     def select_all(shared_slab: bool):
         """Sheared-slab selection for every (depth, lane-tap) slot. The
         slab values are built INSIDE the caller's pl.when branch, so the
@@ -401,16 +464,18 @@ def _sad_kernel(
         for dd in range(dchunk):
             if not shared_slab or dd == 0:
                 halves_v = build(off_y + (by_dds[dd] - by))
-            for s in range(R_PD):
+            if wsel_static and _ABLATE != "no_select":
 
-                @pl.when(s < r_hi)
-                def _(s=s, dd=dd, halves_v=halves_v):
-                    write_weights(dd, s, float(s))
-                    if _ABLATE != "no_select":
-                        shear_s[dd * R_PD + s] = select_lanes(
-                            halves_v, lane_src, shear_bases[dd], s,
-                            shear_dtype,
-                        )  # (C, PY_N, 256)
+                @pl.when(xuni)
+                def _(dd=dd, halves_v=halves_v):
+                    weighted_select(dd, halves_v)
+
+                @pl.when(jnp.logical_not(xuni))
+                def _(dd=dd, halves_v=halves_v):
+                    per_s_selects(dd, halves_v)
+
+            else:
+                per_s_selects(dd, halves_v)
 
     # Row-aligned slab (machinery in slab.py, shared with grid_warp.py):
     # built once when the chunk shares one base, rebuilt per hypothesis
@@ -455,15 +520,16 @@ def _sad_kernel(
                 macc_s[dd, 0] += wy * ind_y
 
             def sbody(s, _):
-                # r_hi = max over depths; taps past a depth's own r_hi have
-                # zero hat weight (and read a stale-but-finite slab slot),
-                # so no per-depth predication is needed in the body.
+                # r_hi_b = max over depths (1 in weighted-selection mode);
+                # taps past a depth's own r_hi have zero hat weight (and
+                # read a stale-but-finite slab slot), so no per-depth
+                # predication is needed in the body.
                 for dd in range(dchunk):
                     src = shear_s[dd * R_PD + s, :, sy : sy + ROWS_E, :COLS_E]
                     acc_s[dd] += (wys[dd] * wx_s[dd * R_PD + s])[None] * src
                 return 0
 
-            jax.lax.fori_loop(0, r_hi, sbody, 0)
+            jax.lax.fori_loop(0, r_hi_b, sbody, 0)
 
     # --- in-register SSIM + channel-weighted 3x3 SAD ----------------------
     # NOTE on borders: the reference reflect-pads the warped image for SSIM

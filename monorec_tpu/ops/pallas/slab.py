@@ -121,6 +121,41 @@ def lane_iotas(out_lanes: int = 256) -> Tuple[Array, Array]:
     return lane_src, lane_dst
 
 
+def select_lanes_weighted(
+    halves: Halves, lane_src: Array, shear_base: Array, frac: Array,
+    shear_dtype,
+) -> Array:
+    """Bilinear-WEIGHTED lane selection: dst lane d reads
+    ``(1-frac[d]) * src(base[d]) + frac[d] * src(base[d]+1)`` in ONE
+    matmul per half per hi/lo part — the two hat taps folded into the
+    selection matrix. Usable only when the x residual is row-uniform
+    (``frac`` is per-lane): exact with f32 weights (interpret); with bf16
+    weights the fold quantizes the weights to ~2^-9 relative (bf16 x bf16
+    products are exact in the f32 accumulator, so that rounding is the
+    only error) — reserved for bf16-source (serving) sweeps whose budget
+    already absorbs source quantization of the same magnitude.
+    ``frac`` is (1, out_lanes), clipped to [0, 1] by the caller."""
+    sel_left = (lane_src == shear_base).astype(jnp.float32)
+    sel_left1 = (lane_src == shear_base + 1).astype(jnp.float32)
+    w_left = (sel_left * (1.0 - frac) + sel_left1 * frac).astype(shear_dtype)
+    sel_right = (lane_src == shear_base - BAND_W).astype(jnp.float32)
+    sel_right1 = (lane_src == shear_base + 1 - BAND_W).astype(jnp.float32)
+    w_right = (sel_right * (1.0 - frac) + sel_right1 * frac).astype(shear_dtype)
+    sl = None
+    for left, right in halves:
+        part = jax.lax.dot_general(
+            left, w_left,
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + jax.lax.dot_general(
+            right, w_right,
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        sl = part if sl is None else sl + part
+    return sl
+
+
 def select_lanes(
     halves: Halves, lane_src: Array, shear_base: Array, s: int, shear_dtype,
 ) -> Array:

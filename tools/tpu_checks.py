@@ -182,6 +182,11 @@ if __name__ == "__main__":
     # bf16 serving path: source images quantized to bf16 in-kernel; the
     # CV error budget vs the exact f32 XLA path is 5e-3 (measured ~1.6e-3).
     ok &= parity(1, 2, 256, 512, 32, warp_dtype="bfloat16", tol=5e-3)
+    # bf16 + PURE translation (deg=0 disables every rotation in build):
+    # exercises the WEIGHTED lane selection (bilinear weights folded into
+    # the one-hot, select_lanes_weighted) on real hardware — its bf16
+    # weight quantization must stay inside the same serving budget.
+    ok &= parity(1, 2, 256, 512, 32, warp_dtype="bfloat16", tol=5e-3, deg=0.0)
     # Rotation (1 deg yaw + 0.5 deg pitch/roll) + KITTI-highway forward
     # motion (tz=1.2, i.e. ~43 km/h at 10 fps with a 10 deg/s turn):
     # stresses the per-depth row bases + per-lane shears; in-envelope, so
