@@ -142,6 +142,18 @@ def cv_kernel_model(homs: np.ndarray, h: int, w: int, c: int, dchunk: int,
     slab_flops = programs * dchunk * 2 * c * 2 * parts * (
         2 * PY_N * BAND_H * BAND_W
     )
+    # Weighted lane selection (r05): row-uniform x residuals (translation-
+    # only homographies, bf16 sweeps) fold both hat taps into ONE matmul
+    # per hypothesis and collapse the lane-tap loop to 1 iteration.
+    m = homs.reshape(-1, 3, 3)
+    translation_only = bool(
+        np.all(np.abs(m[:, 0, 1]) == 0)
+        and np.all(np.abs(m[:, 1, 0]) == 0)
+        and np.all(np.abs(m[:, 2, :2]) == 0)
+    )
+    weighted = translation_only and img_bytes == 2
+    if weighted:
+        r_hi = np.minimum(r_hi, 1)
     sel_count = float((r_hi.astype(np.int64) * dchunk).sum()) * (
         (h // ROWS) * (w // COLS) / max(1, (h // 16) * (w // 128))
     )  # r_hi sampled on 16x128 blocks; rescale to kernel blocks
