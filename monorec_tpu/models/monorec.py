@@ -235,6 +235,7 @@ class MonoRec(nn.Module):
             jnp.float32(cfg.inv_depth_min_max[1]),
             jnp.float32(cfg.inv_depth_min_max[0]),
             cfg.cv_config(),
+            cv_depths=batch.get("cv_depths"),
         )
 
     # ----- full forward (pretrain modes, reference forward :672-729) -----

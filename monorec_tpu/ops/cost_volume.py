@@ -431,21 +431,33 @@ def _compute_cost_volume_pallas_warp(
     return fused_nhwd, sfcv_nhwd, cov_b
 
 
+def _kernel_shapes_ok(keyframe: Array, cfg: CostVolumeConfig, cv_depths) -> bool:
+    """Shape/feature gate shared by the "auto" backend choice (both Pallas
+    paths) — ONE definition so the joint-pair path can never disagree with
+    ``compute_cost_volume`` about kernel eligibility."""
+    b, height, width, channels = keyframe.shape
+    return cv_depths is None and height % 16 == 0 and width % 128 == 0
+
+
+def _fused_path_ok(keyframe: Array, cfg: CostVolumeConfig) -> bool:
+    """Gate for the fully fused SAD kernel (vs the warp-only kernel)."""
+    channels = keyframe.shape[-1]
+    return (
+        cfg.sfcv_mult_mask
+        and cfg.patch_size == 3
+        and channels == len(cfg.channel_weights)
+    )
+
+
 def _fused_kernel_eligible(
     keyframe: Array, cfg: CostVolumeConfig, cv_depths, interpret: bool
 ) -> bool:
-    """True when the fully fused Pallas SAD kernel can serve this sweep
-    (mirrors ``compute_cost_volume``'s "auto" + fused-path gates)."""
-    b, height, width, channels = keyframe.shape
+    """True when the fully fused Pallas SAD kernel can serve this sweep."""
     on_tpu = interpret or jax.default_backend() not in ("cpu", "gpu")
     return (
         on_tpu
-        and cv_depths is None
-        and height % 16 == 0
-        and width % 128 == 0
-        and cfg.sfcv_mult_mask
-        and cfg.patch_size == 3
-        and channels == len(cfg.channel_weights)
+        and _kernel_shapes_ok(keyframe, cfg, cv_depths)
+        and _fused_path_ok(keyframe, cfg)
     )
 
 
@@ -462,6 +474,7 @@ def compute_cost_volume_pair(
     inv_depth_max: Array,
     inv_depth_min: Array,
     cfg: CostVolumeConfig = CostVolumeConfig(),
+    cv_depths: Optional[Array] = None,
     backend: str = "auto",
     interpret: bool = False,
 ):
@@ -484,20 +497,20 @@ def compute_cost_volume_pair(
     """
     f = mono_frames.shape[1]
     use_joint = backend in ("pallas", "auto") and _fused_kernel_eligible(
-        keyframe, cfg, None, interpret
+        keyframe, cfg, cv_depths, interpret
     )
     if not use_joint:
         mono_fused, mono_sfcv, cov_m = compute_cost_volume(
             keyframe, keyframe_intrinsics, keyframe_pose,
             mono_frames, mono_intrinsics, mono_poses,
-            inv_depth_max, inv_depth_min, cfg,
+            inv_depth_max, inv_depth_min, cfg, cv_depths=cv_depths,
             backend=backend, interpret=interpret, return_coverage=True,
         )
         st_fused, st_sfcv, cov_s = compute_cost_volume(
             keyframe, keyframe_intrinsics, keyframe_pose,
             stereo_frame[:, None], stereo_intrinsics[:, None],
             stereo_pose[:, None],
-            inv_depth_max, inv_depth_min, cfg,
+            inv_depth_max, inv_depth_min, cfg, cv_depths=cv_depths,
             backend=backend, interpret=interpret, return_coverage=True,
         )
         return mono_fused, mono_sfcv, st_fused, st_sfcv, cov_m + cov_s
@@ -560,12 +573,11 @@ def compute_cost_volume(
 
     if backend == "auto":
         on_tpu = jax.default_backend() not in ("cpu", "gpu")
-        kernel_ok = (
-            cv_depths is None
-            and height % 16 == 0  # both kernels' row-block size
-            and width % 128 == 0
+        backend = (
+            "pallas"
+            if (on_tpu and _kernel_shapes_ok(keyframe, cfg, cv_depths))
+            else "xla"
         )
-        backend = "pallas" if (on_tpu and kernel_ok) else "xla"
 
     if backend == "pallas":
         inv_depths = jnp.linspace(
@@ -573,11 +585,7 @@ def compute_cost_volume(
             jnp.asarray(inv_depth_min, keyframe.dtype),
             cfg.depth_steps,
         )
-        fused_path = (
-            cfg.sfcv_mult_mask
-            and cfg.patch_size == 3
-            and channels == len(cfg.channel_weights)
-        )
+        fused_path = _fused_path_ok(keyframe, cfg)
         impl = (
             _compute_cost_volume_pallas
             if fused_path

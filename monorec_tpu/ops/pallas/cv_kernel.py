@@ -88,7 +88,7 @@ HALO = 2  # SSIM (1) + SAD box (1)
 ROWS_E = ROWS + 2 * HALO  # warped rows computed per block
 COLS_E = COLS + 2 * HALO
 # BAND_W comes from slab.py (shared with grid_warp.py); this kernel uses
-# 64-row bands so the 128-row slab affords a KY=20 row window.
+# 64-row bands so the 128-row slab affords the KY row window.
 BAND_H = 64
 PAD_Y = 192  # zero padding of the source image (multiple of BAND_H)
 PAD_X = 256
@@ -258,7 +258,7 @@ def _sad_kernel(
     # zoom span exceed KY — measured 105k uncovered pixels at 1.6 m/frame
     # + 2 deg rotation at 256x512 (tools/tpu_checks.py). Per-depth bases
     # remove the drift term entirely; only the in-block span remains
-    # (ROWS_E*tz*inv_depth ~ 10 px at tz=1.6), which KY=20 covers to
+    # (ROWS_E*tz*inv_depth ~ 10 px at tz=1.6), which KY covers to
     # ~tz=2.5. Cost: the aligned slab is built per hypothesis instead of
     # per chunk (the build matmuls are ~4% of the select matmuls; the
     # select's M=C*PY_N=120 single-MXU-tile shape is untouched).
@@ -608,11 +608,15 @@ def plane_sweep_sad(
     if row_base_mode is None:
         row_base_mode = _os.environ.get("MONOREC_CV_ROW_BASES", "auto")
     assert row_base_mode in ("auto", "shared", "per_depth"), row_base_mode
+    # The dchunk override must also resolve OUTSIDE the jit boundary (and
+    # be part of the jit key) for the same stale-cache reason.
+    dchunk_env = _os.environ.get("MONOREC_CV_DCHUNK")
     return _plane_sweep_sad_impl(
         images, keyframes, homographies,
         border_radius=border_radius, frames_per_image=frames_per_image,
         use_ssim=use_ssim, channel_weights=channel_weights,
         interpret=interpret, row_base_mode=row_base_mode,
+        dchunk_env=int(dchunk_env) if dchunk_env else None,
     )
 
 
@@ -620,7 +624,7 @@ def plane_sweep_sad(
     jax.jit,
     static_argnames=(
         "border_radius", "frames_per_image", "use_ssim", "channel_weights",
-        "interpret", "row_base_mode",
+        "interpret", "row_base_mode", "dchunk_env",
     ),
 )
 def _plane_sweep_sad_impl(
@@ -633,6 +637,7 @@ def _plane_sweep_sad_impl(
     channel_weights: Tuple[float, ...] = (5 / 32 / 9, 16 / 32 / 9, 11 / 32 / 9),
     interpret: bool = False,
     row_base_mode: str = "auto",
+    dchunk_env: int = None,
 ) -> Tuple[Array, Array, Array]:
     """Fused plane-sweep scoring: SAD(SSIM(warp(images), keyframe)).
 
@@ -669,11 +674,8 @@ def _plane_sweep_sad_impl(
         dchunk = 2
     else:
         dchunk = 1
-    import os as _os
-
-    _force = _os.environ.get("MONOREC_CV_DCHUNK")  # perf experiments only
-    if _force and d % int(_force) == 0:
-        dchunk = int(_force)
+    if dchunk_env and d % dchunk_env == 0:  # perf experiments only
+        dchunk = dchunk_env
 
 
     padded = jnp.pad(images, ((0, 0), (0, 0), (PAD_Y, PAD_Y), (PAD_X, PAD_X)))

@@ -139,12 +139,12 @@ def cv_kernel_model(homs: np.ndarray, h: int, w: int, c: int, dchunk: int,
     # dchunk x 2 halves x C x 2 bands x parts matmuls of
     # (PY_N, BAND_H) x (BAND_H, BAND_W); selection = per (depth, lane-tap):
     # 2 halves x parts matmuls of (C*PY_N, BAND_W) x (BAND_W, 256).
-    slab_flops = programs * dchunk * 2 * c * 2 * parts * (
-        2 * PY_N * BAND_H * BAND_W
-    )
     # Weighted lane selection (r05): row-uniform x residuals (translation-
     # only homographies, bf16 sweeps) fold both hat taps into ONE matmul
-    # per hypothesis and collapse the lane-tap loop to 1 iteration.
+    # per hypothesis and collapse the lane-tap loop to 1 iteration. At
+    # driving-scale parallax the same condition keeps the shared-slab
+    # branch (one build per chunk); otherwise the kernel rebuilds the
+    # slab per hypothesis — approximate the build factor accordingly.
     m = homs.reshape(-1, 3, 3)
     translation_only = bool(
         np.all(np.abs(m[:, 0, 1]) == 0)
@@ -152,6 +152,10 @@ def cv_kernel_model(homs: np.ndarray, h: int, w: int, c: int, dchunk: int,
         and np.all(np.abs(m[:, 2, :2]) == 0)
     )
     weighted = translation_only and img_bytes == 2
+    build_factor = 1 if translation_only else dchunk
+    slab_flops = programs * build_factor * 2 * c * 2 * parts * (
+        2 * PY_N * BAND_H * BAND_W
+    )
     if weighted:
         r_hi = np.minimum(r_hi, 1)
     sel_count = float((r_hi.astype(np.int64) * dchunk).sum()) * (
