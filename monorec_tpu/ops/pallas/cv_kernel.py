@@ -371,13 +371,19 @@ def _sad_kernel(
     if wsel_static and _ABLATE != "no_select":
         xuni = jnp.bool_(True)
         for dd in range(dchunk):
-            row0 = dxs[dd][0:1, :]
-            xuni = xuni & (jnp.max(jnp.abs(dxs[dd] - row0)) == 0.0)
+            # Row-uniform dx <=> the homography's x output has no row
+            # dependence: m01 == 0 (numerator) and m21 == 0 (denominator)
+            # — a SCALAR check (exactly true for translation-only sweeps;
+            # the earlier grid-max formulation cost a (ROWS_E, COLS_E)
+            # reduction per hypothesis).
+            m01, m21 = ms[dd][1], ms[dd][7]
+            xuni = xuni & (m01 == 0.0) & (m21 == 0.0)
+            # Residual in [0, 1) over hinted lanes: the upper end reuses
+            # the per-depth tap bound (r_hi_dd <= 2 <=> floor(fxr_max)
+            # <= 0, trivially satisfied by an all-unhinted hypothesis);
+            # the lower end only fails when the shear clipped.
             fmin = jnp.min(jnp.where(his[dd], fxrs[dd], pos))
-            fmax = jnp.max(jnp.where(his[dd], fxrs[dd], neg))
-            # an all-unhinted hypothesis leaves fmin=+inf / fmax=-inf:
-            # trivially eligible (its weights are masked downstream).
-            xuni = xuni & (fmin >= 0.0) & (fmax < 1.0)
+            xuni = xuni & (r_his[dd] <= 2) & (fmin >= 0.0)
     else:
         xuni = jnp.bool_(False)
     # Phase-B lane-tap bound: 1 in weighted mode (x interpolation already
