@@ -182,6 +182,7 @@ def _sad_kernel(
     channel_weights: Tuple[float, ...],
     interpret: bool,
     row_base_mode: str,
+    wsel: bool,
 ):
     n = pl.program_id(0)
     rb = pl.program_id(1)
@@ -367,7 +368,8 @@ def _sad_kernel(
     # sweeps already budget source quantization of that size, and
     # interpret mode uses f32 weights (bit-exact) so the CPU parity tests
     # cover the folded path.
-    wsel_static = interpret or band00_ref.dtype == jnp.bfloat16
+    # MONOREC_CV_WSEL=0 disables the fold (A/B + regression testing).
+    wsel_static = wsel and (interpret or band00_ref.dtype == jnp.bfloat16)
     if wsel_static and _ABLATE != "no_select":
         xuni = jnp.bool_(True)
         for dd in range(dchunk):
@@ -614,15 +616,18 @@ def plane_sweep_sad(
     if row_base_mode is None:
         row_base_mode = _os.environ.get("MONOREC_CV_ROW_BASES", "auto")
     assert row_base_mode in ("auto", "shared", "per_depth"), row_base_mode
-    # The dchunk override must also resolve OUTSIDE the jit boundary (and
-    # be part of the jit key) for the same stale-cache reason.
+    # The dchunk / weighted-selection overrides must also resolve OUTSIDE
+    # the jit boundary (and be part of the jit key) for the same
+    # stale-cache reason.
     dchunk_env = _os.environ.get("MONOREC_CV_DCHUNK")
+    wsel = _os.environ.get("MONOREC_CV_WSEL", "1") != "0"
     return _plane_sweep_sad_impl(
         images, keyframes, homographies,
         border_radius=border_radius, frames_per_image=frames_per_image,
         use_ssim=use_ssim, channel_weights=channel_weights,
         interpret=interpret, row_base_mode=row_base_mode,
         dchunk_env=int(dchunk_env) if dchunk_env else None,
+        wsel=wsel,
     )
 
 
@@ -630,7 +635,7 @@ def plane_sweep_sad(
     jax.jit,
     static_argnames=(
         "border_radius", "frames_per_image", "use_ssim", "channel_weights",
-        "interpret", "row_base_mode", "dchunk_env",
+        "interpret", "row_base_mode", "dchunk_env", "wsel",
     ),
 )
 def _plane_sweep_sad_impl(
@@ -644,6 +649,7 @@ def _plane_sweep_sad_impl(
     interpret: bool = False,
     row_base_mode: str = "auto",
     dchunk_env: int = None,
+    wsel: bool = True,
 ) -> Tuple[Array, Array, Array]:
     """Fused plane-sweep scoring: SAD(SSIM(warp(images), keyframe)).
 
@@ -734,6 +740,7 @@ def _plane_sweep_sad_impl(
         channel_weights=channel_weights,
         interpret=interpret,
         row_base_mode=row_base_mode,
+        wsel=wsel,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(

@@ -315,3 +315,43 @@ def test_cost_volume_pair_matches_separate_sweeps():
     )
     np.testing.assert_allclose(np.asarray(xm_f), np.asarray(exm_f), atol=0)
     np.testing.assert_allclose(np.asarray(xm_s), np.asarray(exm_s), atol=0)
+
+
+def test_translation_homographies_are_weighted_select_eligible():
+    """The weighted lane selection's scalar eligibility check reads
+    m01/m21 of the FOLDED homography; pin that translation-only plane
+    sweeps produce exactly-zero entries there (if the folding in
+    plane_sweep_homographies ever introduces row coupling, the fold
+    silently dies and the perf claim with it)."""
+    from monorec_tpu.ops.cost_volume import plane_sweep_homographies
+
+    kf, ki, kp, frames, fi, fposes, imax, imin = _cv_args()
+    homs = np.asarray(
+        plane_sweep_homographies(
+            ki, kp, fi, fposes, jnp.linspace(0.33, 0.0025, 8), 32, 128
+        )
+    )
+    assert np.all(homs[..., 0, 1] == 0.0)  # m01
+    assert np.all(homs[..., 2, 1] == 0.0)  # m21
+    assert np.all(homs[..., 2, 2] == 1.0)  # normalization contract
+
+
+def test_weighted_select_equals_per_tap_path(monkeypatch):
+    """MONOREC_CV_WSEL=0 pins the fold against the per-tap formulation:
+    with f32 weights (interpret mode) the two programs compute the same
+    bilinear sum, so the cost volumes must agree to float round-off."""
+    import monorec_tpu.ops.pallas.cv_kernel  # noqa: F401 (env read per call)
+
+    args = _cv_args()
+    cfg = CostVolumeConfig(depth_steps=4)
+    monkeypatch.setenv("MONOREC_CV_WSEL", "0")
+    f_off, s_off, cov_off = compute_cost_volume(
+        *args, cfg, backend="pallas", interpret=True, return_coverage=True
+    )
+    monkeypatch.setenv("MONOREC_CV_WSEL", "1")
+    f_on, s_on, cov_on = compute_cost_volume(
+        *args, cfg, backend="pallas", interpret=True, return_coverage=True
+    )
+    np.testing.assert_allclose(np.asarray(f_on), np.asarray(f_off), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(s_on), np.asarray(s_off), atol=2e-6)
+    assert float(np.asarray(cov_on).sum()) == float(np.asarray(cov_off).sum())
